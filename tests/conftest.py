@@ -1,0 +1,25 @@
+"""Pytest config: run JAX on CPU with 8 virtual devices so multi-chip sharding
+paths (pjit over a Mesh) are testable without a pod
+(XLA host-platform device-count emulation; replaces the reference's untested
+multi-node path, see SURVEY.md §4)."""
+import os
+import sys
+
+# The image exports JAX_PLATFORMS=axon (TPU tunnel) and pre-imports jax at
+# interpreter startup, so plain env vars are too late; reconfigure via
+# jax.config before any backend is initialized. Tests must run on host CPU
+# with 8 virtual devices unless a TPU test run is explicitly requested.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+if os.environ.get("MEGATTS_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)

@@ -1,0 +1,152 @@
+"""Test-only helper: import modules of the PyTorch reference repo as numerical
+oracles (random weights, CPU). The reference repo at /root/reference imports a
+few packages absent in this image (torchaudio, timm, librosa, amfm_decompy);
+we inject minimal stand-ins so the pure-torch model code is importable.
+
+The timm Attention stand-in replicates timm.models.vision_transformer.Attention
+(standard pre-norm MHA with fused qkv) which the reference's DiTConVBlock uses
+(/root/reference/modules.py:13,397).
+"""
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import torch
+from torch import nn
+
+REFERENCE = "/root/reference"
+
+
+class _TimmAttention(nn.Module):
+    """Faithful stand-in for timm's vision_transformer.Attention (eval mode)."""
+
+    def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0, proj_drop=0.0):
+        super().__init__()
+        assert dim % num_heads == 0
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.scale = self.head_dim ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.attn_drop = nn.Dropout(attn_drop)
+        self.proj = nn.Linear(dim, dim)
+        self.proj_drop = nn.Dropout(proj_drop)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = (
+            self.qkv(x)
+            .reshape(B, N, 3, self.num_heads, self.head_dim)
+            .permute(2, 0, 3, 1, 4)
+        )
+        q, k, v = qkv.unbind(0)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        attn = self.attn_drop(attn)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        x = self.proj(x)
+        x = self.proj_drop(x)
+        return x
+
+
+def _install_stubs():
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_vit = types.ModuleType("timm.models.vision_transformer")
+        timm_vit.Attention = _TimmAttention
+        timm.models = timm_models
+        timm_models.vision_transformer = timm_vit
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.vision_transformer"] = timm_vit
+
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+
+        class _Spectrogram(nn.Module):
+            def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                         window_fn=torch.hann_window, normalized=False,
+                         center=True, pad_mode="reflect", power=2.0, **kw):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.n_fft // 2
+                self.normalized = normalized
+                self.center = center
+                self.pad_mode = pad_mode or "constant"
+                self.power = power
+                self.register_buffer("window", window_fn(self.win_length))
+
+            def forward(self, x):
+                spec = torch.stft(
+                    x,
+                    self.n_fft,
+                    hop_length=self.hop_length,
+                    win_length=self.win_length,
+                    window=self.window,
+                    center=self.center,
+                    pad_mode=self.pad_mode,
+                    normalized=self.normalized,
+                    onesided=True,
+                    return_complex=True,
+                )
+                if self.power is None:
+                    return spec
+                return spec.abs() ** self.power
+
+        ta_transforms = types.ModuleType("torchaudio.transforms")
+        ta_transforms.Spectrogram = _Spectrogram
+        ta_transforms.MelSpectrogram = None  # built on demand in dsp tests
+        ta_transforms.MelScale = None
+        ta.transforms = ta_transforms
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = ta_transforms
+
+    if "librosa" not in sys.modules:
+        librosa = types.ModuleType("librosa")
+        librosa_util = types.ModuleType("librosa.util")
+        librosa_filters = types.ModuleType("librosa.filters")
+        librosa_util.normalize = None
+        librosa_util.pad_center = None
+        librosa_util.tiny = None
+        librosa_filters.mel = None
+        librosa.util = librosa_util
+        librosa.filters = librosa_filters
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.util"] = librosa_util
+        sys.modules["librosa.filters"] = librosa_filters
+
+
+def add_reference_path():
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def torch_seed(seed: int = 0):
+    torch.manual_seed(seed)
+
+
+def t2j(x: torch.Tensor):
+    import numpy as np
+
+    return np.asarray(x.detach().cpu().numpy())
+
+
+def init_eval(module: nn.Module) -> nn.Module:
+    module.eval()
+    return module
+
+
+def mha_scale_compat(scale: float) -> float:
+    return scale
+
+
+def rel_tol(a, b, atol=2e-4, rtol=2e-4) -> float:
+    import numpy as np
+
+    a = a if not isinstance(a, torch.Tensor) else t2j(a)
+    b = b if not isinstance(b, torch.Tensor) else t2j(b)
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
