@@ -9,12 +9,19 @@ The timm Attention stand-in replicates timm.models.vision_transformer.Attention
 """
 from __future__ import annotations
 
+import importlib.machinery
 import math
 import sys
 import types
 
 import torch
 from torch import nn
+
+
+def _mk_module(name: str) -> types.ModuleType:
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
 
 REFERENCE = "/root/reference"
 
@@ -52,9 +59,9 @@ class _TimmAttention(nn.Module):
 
 def _install_stubs():
     if "timm" not in sys.modules:
-        timm = types.ModuleType("timm")
-        timm_models = types.ModuleType("timm.models")
-        timm_vit = types.ModuleType("timm.models.vision_transformer")
+        timm = _mk_module("timm")
+        timm_models = _mk_module("timm.models")
+        timm_vit = _mk_module("timm.models.vision_transformer")
         timm_vit.Attention = _TimmAttention
         timm.models = timm_models
         timm_models.vision_transformer = timm_vit
@@ -63,7 +70,7 @@ def _install_stubs():
         sys.modules["timm.models.vision_transformer"] = timm_vit
 
     if "torchaudio" not in sys.modules:
-        ta = types.ModuleType("torchaudio")
+        ta = _mk_module("torchaudio")
 
         class _Spectrogram(nn.Module):
             def __init__(self, n_fft=400, win_length=None, hop_length=None,
@@ -96,7 +103,7 @@ def _install_stubs():
                     return spec
                 return spec.abs() ** self.power
 
-        ta_transforms = types.ModuleType("torchaudio.transforms")
+        ta_transforms = _mk_module("torchaudio.transforms")
         ta_transforms.Spectrogram = _Spectrogram
         ta_transforms.MelSpectrogram = None  # built on demand in dsp tests
         ta_transforms.MelScale = None
@@ -105,9 +112,9 @@ def _install_stubs():
         sys.modules["torchaudio.transforms"] = ta_transforms
 
     if "librosa" not in sys.modules:
-        librosa = types.ModuleType("librosa")
-        librosa_util = types.ModuleType("librosa.util")
-        librosa_filters = types.ModuleType("librosa.filters")
+        librosa = _mk_module("librosa")
+        librosa_util = _mk_module("librosa.util")
+        librosa_filters = _mk_module("librosa.filters")
         librosa_util.normalize = None
         librosa_util.pad_center = None
         librosa_util.tiny = None
