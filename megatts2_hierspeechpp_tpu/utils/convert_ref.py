@@ -164,3 +164,85 @@ def ampblock(sd, p) -> dict:
     for j in range(6):
         out[f"act_{j}"] = snakebeta(sd, _j(p, f"activations.{j}.act"))
     return out
+
+
+def timm_attention(sd, p) -> dict:
+    return {"qkv": dense(sd, _j(p, "qkv")), "proj": dense(sd, _j(p, "proj"))}
+
+
+def dit_block(sd, p) -> dict:
+    return {
+        "attn": timm_attention(sd, _j(p, "attn")),
+        "mlp": {"fc1": conv1d(sd, _j(p, "mlp.fc1")), "fc2": conv1d(sd, _j(p, "mlp.fc2"))},
+        "adaLN_modulation": dense(sd, _j(p, "adaLN_modulation.1")),
+    }
+
+
+def dit_coupling_layer(sd, p, n_layers=3) -> dict:
+    out = {
+        "pre": conv1d(sd, _j(p, "pre")),
+        "post": conv1d(sd, _j(p, "post")),
+    }
+    for i in range(n_layers):
+        out[f"enc_{i}"] = dit_block(sd, _j(p, f"enc_block.{i}"))
+    return out
+
+
+def dit_coupling_block(sd, p, n_flows=4, n_layers=3) -> dict:
+    """ResidualCouplingBlock_Transformer: flows list interleaves couplings and
+    Flips (parameterless), so torch indices 0,2,4,... map to flow_0..n."""
+    out = {
+        "cond_0": dense(sd, _j(p, "cond_block.0")),
+        "cond_1": dense(sd, _j(p, "cond_block.2")),
+    }
+    for i in range(n_flows):
+        out[f"flow_{i}"] = dit_coupling_layer(sd, _j(p, f"flows.{2 * i}"), n_layers)
+    return out
+
+
+def style_encoder(sd, p) -> dict:
+    return {
+        "spectral_0": dense_from_conv1x1(sd, _j(p, "spectral.0")),
+        "spectral_1": dense_from_conv1x1(sd, _j(p, "spectral.3")),
+        "temporal_0": {"conv1": conv1d(sd, _j(p, "temporal.0.conv1"))},
+        "temporal_1": {"conv1": conv1d(sd, _j(p, "temporal.1.conv1"))},
+        "slf_attn": mha(sd, _j(p, "slf_attn")),
+        "fc": dense_from_conv1x1(sd, _j(p, "fc")),
+    }
+
+
+def _lstm_dir(sd, p, layer, suffix) -> dict:
+    w_ih = tc.linear_kernel(_np(sd, _j(p, f"weight_ih_l{layer}{suffix}")))
+    w_hh = tc.linear_kernel(_np(sd, _j(p, f"weight_hh_l{layer}{suffix}")))
+    b = _np(sd, _j(p, f"bias_ih_l{layer}{suffix}")) + _np(
+        sd, _j(p, f"bias_hh_l{layer}{suffix}")
+    )
+    d = "fwd" if suffix == "" else "bwd"
+    return {f"w_ih_{d}": w_ih, f"w_hh_{d}": w_hh, f"b_{d}": b}
+
+
+def bilstm(sd, p, layer=0) -> dict:
+    out = {}
+    out.update(_lstm_dir(sd, p, layer, ""))
+    out.update(_lstm_dir(sd, p, layer, "_reverse"))
+    return out
+
+
+def stacked_bilstm(sd, p, num_layers) -> dict:
+    return {f"layer_{i}": bilstm(sd, p, i) for i in range(num_layers)}
+
+
+def duration_predictor(sd, p) -> dict:
+    return {
+        "cond": dense_from_conv1x1(sd, _j(p, "cond")),
+        "lstms": stacked_bilstm(sd, _j(p, "lstms"), 2),
+        "norm_2": layer_norm(sd, _j(p, "norm_2")),
+        "proj": dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+
+
+def range_predictor(sd, p) -> dict:
+    return {
+        "lstm": bilstm(sd, _j(p, "lstm")),
+        "proj": dense(sd, _j(p, "proj.linear_layer")),
+    }
