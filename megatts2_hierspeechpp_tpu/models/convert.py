@@ -1,0 +1,97 @@
+"""Whole-model converters: reference torch checkpoints -> flax param trees.
+
+Reference checkpoint format: torch.save({'model': state_dict, 'iteration': ...,
+'optimizer': ..., 'learning_rate': ...}) (/root/reference/utils.py:19-57).
+"""
+from __future__ import annotations
+
+from megatts2_hierspeechpp_tpu.utils import convert_ref as cr
+from megatts2_hierspeechpp_tpu.utils.convert_ref import _j
+
+
+def posterior_sf_encoder(sd, p) -> dict:
+    return {
+        "pre_source": cr.dense_from_conv1x1(sd, _j(p, "pre_source")),
+        "pre_filter": cr.conv1d(sd, _j(p, "pre_filter")),
+        "source_enc": cr.wn(sd, _j(p, "source_enc"), 8),
+        "filter_enc": cr.wn(sd, _j(p, "filter_enc"), 8),
+        "enc": cr.wn(sd, _j(p, "enc"), 8),
+        "proj": cr.dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+
+
+def posterior_audio_encoder(sd, p, n_wn_layers=16) -> dict:
+    out = {
+        "pre": cr.dense_from_conv1x1(sd, _j(p, "pre")),
+        "down_pre": cr.conv1d(sd, _j(p, "down_pre")),
+        "activation_post": cr.snakebeta(sd, _j(p, "activation_post.act")),
+        "conv_post": cr.conv1d(sd, _j(p, "conv_post")),
+        "enc": cr.wn(sd, _j(p, "enc"), n_wn_layers),
+        "proj": cr.dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+    for i in range(4):
+        out[f"downs_{i}"] = cr.wn_conv1d(sd, _j(p, f"downs.{i}"))
+    for r in range(12):
+        out[f"resblocks_{r}"] = cr.ampblock(sd, _j(p, f"resblocks.{r}"))
+    return out
+
+
+def mel_decoder(sd, p) -> dict:
+    return {
+        "conv_pre": cr.conv1d(sd, _j(p, "conv_pre")),
+        "cond": cr.dense_from_conv1x1(sd, _j(p, "cond")),
+        "encoder": cr.vits_encoder(sd, _j(p, "encoder"), 2),
+        "proj": cr.dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+
+
+def source_network(sd, p) -> dict:
+    out = {
+        "conv_pre": cr.wn_conv1d(sd, _j(p, "conv_pre")),
+        "cond": cr.dense_from_conv1x1(sd, _j(p, "cond")),
+        "activation_post": cr.snakebeta(sd, _j(p, "activation_post.act")),
+        "conv_post": cr.conv1d(sd, _j(p, "conv_post")),
+    }
+    for i in range(2):
+        out[f"ups_{i}"] = cr.wn_conv_transpose1d(sd, _j(p, f"ups.{i}"))
+    for r in range(6):
+        out[f"resblocks_{r}"] = cr.ampblock(sd, _j(p, f"resblocks.{r}"))
+    return out
+
+
+def dblock(sd, p) -> dict:
+    out = {"residual_dense": cr.wn_conv1d(sd, _j(p, "residual_dense"))}
+    for i in range(3):
+        out[f"conv_{i}"] = cr.wn_conv1d(sd, _j(p, f"conv.{i}"))
+    return out
+
+
+def generator(sd, p, n_ups, n_kernels=3) -> dict:
+    out = {
+        "conv_pre": cr.wn_conv1d(sd, _j(p, "conv_pre")),
+        "downs": dblock(sd, _j(p, "downs")),
+        "cond": cr.dense_from_conv1x1(sd, _j(p, "cond")),
+        "proj": cr.conv1d(sd, _j(p, "proj")),
+        "activation_post": cr.snakebeta(sd, _j(p, "activation_post.act")),
+        "conv_post": cr.conv1d(sd, _j(p, "conv_post")),
+    }
+    for i in range(n_ups):
+        out[f"ups_{i}"] = cr.wn_conv_transpose1d(sd, _j(p, f"ups.{i}"))
+    for r in range(n_ups * n_kernels):
+        out[f"resblocks_{r}"] = cr.ampblock(sd, _j(p, f"resblocks.{r}"))
+    return out
+
+
+def convert_vocoder(sd, n_ups: int = 5) -> dict:
+    """Reference hierspeechpp SynthesizerTrn state_dict -> HierVocoder params."""
+    return {
+        "enc_p_l": posterior_sf_encoder(sd, "enc_p_l"),
+        "flow_l": cr.dit_coupling_block(sd, "flow_l", 4, 3),
+        "enc_p": posterior_sf_encoder(sd, "enc_p"),
+        "enc_q": posterior_audio_encoder(sd, "enc_q"),
+        "flow": cr.dit_coupling_block(sd, "flow", 4, 3),
+        "mel_decoder": mel_decoder(sd, "mel_decoder"),
+        "dec": generator(sd, "dec", n_ups),
+        "sn": source_network(sd, "sn"),
+        "emb_g": cr.style_encoder(sd, "emb_g"),
+    }
