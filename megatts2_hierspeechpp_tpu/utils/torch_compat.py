@@ -62,5 +62,6 @@ def wn_conv2d(weight_g: np.ndarray, weight_v: np.ndarray) -> dict:
 def to_np(t) -> np.ndarray:
     """torch tensor -> numpy (no torch import at module scope)."""
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
+        # copy: torch .numpy() returns a view that in-place ops would mutate
+        return t.detach().cpu().numpy().copy()
     return np.asarray(t)
