@@ -95,3 +95,91 @@ def convert_vocoder(sd, n_ups: int = 5) -> dict:
         "sn": source_network(sd, "sn"),
         "emb_g": cr.style_encoder(sd, "emb_g"),
     }
+
+
+def ttv_text_encoder(sd, p) -> dict:
+    return {
+        "emb": cr.embedding(sd, _j(p, "emb")),
+        "emb_tone": cr.embedding(sd, _j(p, "emb_tone")),
+        "emb_language": cr.embedding(sd, _j(p, "emb_language")),
+        "encoder": cr.vits_encoder(sd, _j(p, "encoder"), 3),
+        "encoder2": cr.vits_encoder(sd, _j(p, "encoder2"), 1),
+    }
+
+
+def ttv_mel_encoder(sd, p) -> dict:
+    return {
+        "encoder": cr.vits_encoder(sd, _j(p, "encoder"), 2),
+        "proj": cr.dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+
+
+def ttv_w2v_encoder(sd, p) -> dict:
+    return {
+        "cond": cr.dense_from_conv1x1(sd, _j(p, "cond")),
+        "encoder": cr.vits_encoder(sd, _j(p, "encoder"), 3),
+        "encoder2": cr.vits_encoder(sd, _j(p, "encoder2"), 1),
+    }
+
+
+def ttv_w2v_decoder(sd, p) -> dict:
+    return {
+        "pre": cr.dense_from_conv1x1(sd, _j(p, "pre")),
+        "enc": cr.wn(sd, _j(p, "enc"), 8),
+        "proj": cr.dense_from_conv1x1(sd, _j(p, "proj")),
+    }
+
+
+def pitch_predictor(sd, p) -> dict:
+    out = {
+        "conv_pre": cr.conv1d(sd, _j(p, "conv_pre")),
+        "cond": cr.dense_from_conv1x1(sd, _j(p, "cond")),
+        "conv_post": cr.conv1d(sd, _j(p, "conv_post")),
+    }
+    for i in range(2):
+        out[f"ups_{i}"] = cr.wn_conv_transpose1d(sd, _j(p, f"ups.{i}"))
+    for r in range(6):
+        out[f"resblocks_{r}"] = cr.resblock1(sd, _j(p, f"resblocks.{r}"))
+    return out
+
+
+def rvq_state(sd, p, n_q=1) -> dict:
+    """Reference quantizer buffers -> flax 'vq' collection."""
+    import numpy as np
+
+    out = {}
+    for i in range(n_q):
+        q = _j(p, f"vq.layers.{i}._codebook")
+        out[f"vq_{i}"] = {
+            "codebook": {
+                "embed": cr._np(sd, f"{q}.embed"),
+                "embed_avg": cr._np(sd, f"{q}.embed_avg"),
+                "cluster_size": cr._np(sd, f"{q}.cluster_size"),
+                "inited": np.asarray(cr._np(sd, f"{q}.inited").reshape(()) > 0),
+            }
+        }
+    return out
+
+
+def convert_ttv(sd) -> dict:
+    """Reference ttv SynthesizerTrn state_dict -> {'params':..., 'vq':...}."""
+    params = {
+        "enc_p": ttv_text_encoder(sd, "enc_p"),
+        "mel_encoder": ttv_mel_encoder(sd, "mel_encoder"),
+        "mha": cr.mha(sd, "mha"),
+        "cond_g": cr.dense_from_conv1x1(sd, "cond_g"),
+        "w2v_encoder": ttv_w2v_encoder(sd, "w2v_encoder"),
+        "w2v_decoder": ttv_w2v_decoder(sd, "w2v_decoder"),
+        "emb_g": cr.style_encoder(sd, "emb_g"),
+        "duration_predictor": cr.duration_predictor(sd, "duration_predictor"),
+        "range_predictor": cr.range_predictor(sd, "RangePredictor"),
+        "dur_downsample": cr.conv1d(sd, "dur_downsample"),
+        "pp": pitch_predictor(sd, "pp"),
+        "plm_conv1": {"conv1": cr.conv1d(sd, "plm_conv1.conv1"),
+                      "conv2": cr.conv1d(sd, "plm_conv1.conv2")},
+        "plm_conv2": {"conv1": cr.conv1d(sd, "plm_conv2.conv1"),
+                      "conv2": cr.conv1d(sd, "plm_conv2.conv2")},
+        "ssl_proj": cr.dense_from_conv1x1(sd, "ssl_proj"),
+    }
+    vq = {"quantizer": rvq_state(sd, "quantizer")}
+    return {"params": params, "vq": vq}

@@ -80,7 +80,10 @@ class StyleEncoder(nn.Module):
 
         y = Dense(self.out_dim, dtype=self.dtype, name="fc")(y)
 
-        # masked temporal average pool
+        # temporal average pool — replicates the reference exactly
+        # (styleencoder.py:83-91): the sum runs over *all* frames (padded
+        # positions included; with fully-masked attention rows those carry the
+        # uniform-attention mean) while the denominator is the true length.
         denom = jnp.sum(mask, axis=1)  # (B, 1)
-        w = jnp.sum(y * mask, axis=1) / denom
+        w = jnp.sum(y, axis=1) / denom
         return w

@@ -1,0 +1,161 @@
+"""Full-forward parity: TTVModel vs reference ttv SynthesizerTrn (eval mode)."""
+import random
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests import torch_ref
+from megatts2_hierspeechpp_tpu.models.ttv import TTVModel
+from megatts2_hierspeechpp_tpu.models.convert import convert_ttv
+
+torch_ref.add_reference_path()
+
+
+@pytest.fixture(scope="module")
+def models():
+    from ttv_v1.t2w2v_transformer import SynthesizerTrn as RefTTV
+
+    torch.manual_seed(0)
+    tmod = RefTTV(
+        n_vocab=40,
+        n_tone=10,
+        n_language=3,
+        spec_channels=641,
+        hop_length=320,
+        sampling_rate=16000,
+        segment_size=32,
+        inter_channels=256,
+        hidden_channels=256,
+        filter_channels=1024,
+        n_heads=4,
+        n_layers=6,
+        kernel_size=3,
+        p_dropout=0.0,
+        resblock="1",
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    ).eval()
+    with torch.no_grad():
+        cb = tmod.quantizer.vq.layers[0]._codebook
+        cb.embed.normal_()
+        cb.embed_avg.copy_(cb.embed)
+        cb.cluster_size.fill_(10.0)
+        cb.inited.fill_(1)
+
+    jmod = TTVModel(n_vocab=40, n_tone=10, n_language=3)
+    variables = convert_ttv(tmod.state_dict())
+    return tmod, jmod, variables
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    b, n, mel_len = 2, 6, 16
+    x_ids = rng.integers(0, 40, (b, n))
+    tone = rng.integers(0, 10, (b, n))
+    language = rng.integers(0, 3, (b, n))
+    x_lengths = np.array([6, 4], np.int32)
+    # durations: batch0 sums to 32 = 2*mel_len over 6 phones; batch1 sums to 24 over 4
+    dur = np.array([[5, 6, 5, 6, 5, 5], [6, 6, 6, 6, 0, 0]], np.float32)
+    mel = rng.standard_normal((b, mel_len, 80)).astype(np.float32)
+    mel_lengths = np.array([16, 12], np.int32)
+    w2v = rng.standard_normal((b, mel_len, 1024)).astype(np.float32)
+    pitch = np.abs(rng.standard_normal((b, mel_len * 4))).astype(np.float32)
+    pitch_lengths = mel_lengths * 4
+    mrte_mel = rng.standard_normal((b, 24, 80)).astype(np.float32)
+    mrte_lengths = np.array([24, 20], np.int32)
+    return dict(
+        x_ids=x_ids, tone=tone, language=language, x_lengths=x_lengths, dur=dur,
+        mel=mel, mel_lengths=mel_lengths, w2v=w2v, pitch=pitch,
+        pitch_lengths=pitch_lengths, mrte_mel=mrte_mel, mrte_lengths=mrte_lengths,
+    )
+
+
+def test_ttv_forward_parity(models, monkeypatch):
+    tmod, jmod, variables = models
+    d = _data()
+    # f0_prob <= 0.5 -> the reference feeds ground-truth w2v to the pitch
+    # predictor (t2w2v_transformer.py:867-871) == our teacher_force_w2v=True
+    monkeypatch.setattr(random, "random", lambda: 0.1)
+
+    with torch.no_grad():
+        l_length, l_pitch, x_mask, y_mask, pred_f0, w2v_pred, commit, quantized = tmod(
+            torch.from_numpy(d["x_ids"]),
+            torch.from_numpy(d["x_lengths"]).long(),
+            torch.from_numpy(d["w2v"].transpose(0, 2, 1)),
+            torch.from_numpy(d["mel_lengths"]).long(),
+            torch.from_numpy(d["mel"].transpose(0, 2, 1)),
+            torch.from_numpy(d["mel_lengths"]).long(),
+            torch.from_numpy(d["pitch"]),
+            torch.from_numpy(d["pitch_lengths"]).long(),
+            torch.from_numpy(d["tone"]),
+            torch.from_numpy(d["language"]),
+            torch.from_numpy(d["dur"]),
+            torch.from_numpy(d["mrte_mel"].transpose(0, 2, 1)),
+            torch.from_numpy(d["mrte_lengths"]).long(),
+        )
+
+    out = jmod.apply(
+        variables,
+        jnp.asarray(d["x_ids"]), jnp.asarray(d["tone"]), jnp.asarray(d["language"]),
+        jnp.asarray(d["x_lengths"]),
+        jnp.asarray(d["w2v"]), jnp.asarray(d["mel_lengths"]),
+        jnp.asarray(d["mel"]), jnp.asarray(d["mel_lengths"]),
+        jnp.asarray(d["pitch"]), jnp.asarray(d["pitch_lengths"]),
+        jnp.asarray(d["dur"]),
+        jnp.asarray(d["mrte_mel"]), jnp.asarray(d["mrte_lengths"]),
+        teacher_force_w2v=True,
+    )
+
+    w2v_ref = w2v_pred.transpose(1, 2).numpy()
+    diff = np.abs(np.asarray(out["w2v_pred"]) - w2v_ref)
+    # deep stack (4 attention encoders + BiLSTMs + Gaussian softmax + WN-512x8):
+    # fp32 drift accumulates; bound the tail rather than every element
+    assert diff.max() < 5e-2, diff.max()
+    assert np.quantile(diff, 0.99) < 2e-2, np.quantile(diff, 0.99)
+    assert diff.mean() < 2e-3, diff.mean()
+    rel_l2 = np.linalg.norm(diff) / np.linalg.norm(w2v_ref)
+    assert rel_l2 < 1e-2, rel_l2
+    np.testing.assert_allclose(
+        float(out["l_length"]), float(l_length.sum()), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(out["l_pitch"]), float(l_pitch), rtol=1e-3, atol=1e-5)
+    ref_lf0 = np.log(pred_f0.numpy() + 0.0) if False else None
+    # pred_f0 (reference) = exp(pred_lf0)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out["pred_lf0"])), pred_f0.numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_ttv_extract_tc_latent_code_parity(models):
+    tmod, jmod, variables = models
+    d = _data(1)
+
+    with torch.no_grad():
+        x_frame_t, lr_codes_t = tmod.extract_tc_latent_code(
+            torch.from_numpy(d["x_ids"]),
+            torch.from_numpy(d["x_lengths"]).long(),
+            torch.from_numpy(d["mel"].transpose(0, 2, 1)),
+            torch.from_numpy(d["mel_lengths"]).long(),
+            torch.from_numpy(d["tone"]),
+            torch.from_numpy(d["language"]),
+            torch.from_numpy(d["dur"]),
+            torch.from_numpy(d["mrte_mel"].transpose(0, 2, 1)),
+            torch.from_numpy(d["mrte_lengths"]).long(),
+        )
+
+    x_frame_j, lr_codes_j = jmod.apply(
+        variables,
+        jnp.asarray(d["x_ids"]), jnp.asarray(d["tone"]), jnp.asarray(d["language"]),
+        jnp.asarray(d["x_lengths"]),
+        jnp.asarray(d["mel"]), jnp.asarray(d["mel_lengths"]),
+        jnp.asarray(d["dur"]),
+        jnp.asarray(d["mrte_mel"]), jnp.asarray(d["mrte_lengths"]),
+        method=TTVModel.extract_tc_latent_code,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_frame_j), x_frame_t.transpose(1, 2).numpy(), atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(lr_codes_j), lr_codes_t.numpy())

@@ -111,6 +111,39 @@ def _install_stubs():
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = ta_transforms
 
+    if "monotonic_align" not in sys.modules:
+        ma = _mk_module("monotonic_align")
+        ma_core = _mk_module("monotonic_align.core")
+        ma.mask_from_lens = None
+        ma.maximum_path = None
+        ma_core.maximum_path_c = None
+        ma.core = ma_core
+        sys.modules["monotonic_align"] = ma
+        sys.modules["monotonic_align.core"] = ma_core
+
+    if "torchmetrics" not in sys.modules:
+        tm = _mk_module("torchmetrics")
+        tm_cls = _mk_module("torchmetrics.classification")
+
+        class _MulticlassAccuracy:
+            def __init__(self, *a, **k):
+                self.top_k = k.get("top_k", 1)
+                self.ignore_index = k.get("ignore_index", None)
+
+            def __call__(self, logits, targets):
+                # logits (B, C, T), targets (B, T); micro top-k accuracy
+                topk = logits.topk(self.top_k, dim=1).indices  # (B, K, T)
+                hit = (topk == targets.unsqueeze(1)).any(dim=1)
+                if self.ignore_index is not None:
+                    valid = targets != self.ignore_index
+                    return (hit & valid).sum() / valid.sum().clamp(min=1)
+                return hit.float().mean()
+
+        tm_cls.MulticlassAccuracy = _MulticlassAccuracy
+        tm.classification = tm_cls
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.classification"] = tm_cls
+
     if "librosa" not in sys.modules:
         librosa = _mk_module("librosa")
         librosa_util = _mk_module("librosa.util")
