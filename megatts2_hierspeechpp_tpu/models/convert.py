@@ -183,3 +183,28 @@ def convert_ttv(sd) -> dict:
     }
     vq = {"quantizer": rvq_state(sd, "quantizer")}
     return {"params": params, "vq": vq}
+
+
+def plm_layer(sd, p) -> dict:
+    return {
+        "norm1": cr.layer_norm(sd, _j(p, "norm1")),
+        "norm2": cr.layer_norm(sd, _j(p, "norm2")),
+        "w_q": cr.dense(sd, _j(p, "attn.w_q")),
+        "w_k": cr.dense(sd, _j(p, "attn.w_k")),
+        "w_v": cr.dense(sd, _j(p, "attn.w_v")),
+        "out_proj": cr.dense(sd, _j(p, "attn.out_proj.0")),
+        "ff_0": cr.dense(sd, _j(p, "ff.0")),
+        "ff_1": cr.dense(sd, _j(p, "ff.3")),
+    }
+
+
+def convert_plm(sd, n_layers: int = 4) -> dict:
+    """Reference Megatts2PLM1 state_dict -> ProsodyLM params."""
+    params = {
+        "pc_embedding": cr.embedding(sd, "pc_embedding"),
+        "pos_alpha": cr._np(sd, "pos_emb.alpha"),
+        "predict_layer": cr.dense(sd, "predict_layer"),
+    }
+    for i in range(n_layers):
+        params[f"layer_{i}"] = plm_layer(sd, f"plm.layers.{i}")
+    return params
