@@ -208,3 +208,129 @@ def convert_plm(sd, n_layers: int = 4) -> dict:
     for i in range(n_layers):
         params[f"layer_{i}"] = plm_layer(sd, f"plm.layers.{i}")
     return params
+
+
+def convert_speechsr(sd, prefix: str = "dec") -> dict:
+    """Reference speechsr SynthesizerTrn (dec=Generator) -> SpeechSR params."""
+    out = {
+        "conv_pre": cr.wn_conv1d(sd, _j(prefix, "conv_pre")),
+        "activation_post": cr.snakebeta(sd, _j(prefix, "activation_post.act")),
+        "conv_post": cr.conv1d(sd, _j(prefix, "conv_post")),
+    }
+    for j in range(3):
+        out[f"resblocks_{j}"] = cr.ampblock(sd, _j(prefix, f"resblocks.{j}"))
+    return out
+
+
+def _instance_norm(sd, p) -> dict:
+    return {"scale": cr._np(sd, _j(p, "weight")), "bias": cr._np(sd, _j(p, "bias"))}
+
+
+def _prelu(sd, p) -> dict:
+    return {"alpha": cr._np(sd, _j(p, "weight"))}
+
+
+def _dense_block(sd, p) -> dict:
+    out = {}
+    for i in range(4):
+        out[f"conv_{i}"] = cr.conv2d(sd, _j(p, f"dense_block.{i}.0"))
+        out[f"norm_{i}"] = _instance_norm(sd, _j(p, f"dense_block.{i}.1"))
+        out[f"act_{i}"] = _prelu(sd, _j(p, f"dense_block.{i}.2"))
+    return out
+
+
+def _torch_mha(sd, p) -> dict:
+    import numpy as np
+
+    return {
+        "in_proj_weight": cr._np(sd, _j(p, "in_proj_weight")),
+        "in_proj_bias": cr._np(sd, _j(p, "in_proj_bias")),
+        "out_proj": cr.dense(sd, _j(p, "out_proj")),
+    }
+
+
+def _conformer(sd, p):
+    params = {
+        "ffm1": {
+            "norm": cr.layer_norm(sd, _j(p, "ffm1.ffm.0")),
+            "fc1": cr.dense(sd, _j(p, "ffm1.ffm.1")),
+            "fc2": cr.dense(sd, _j(p, "ffm1.ffm.4")),
+        },
+        "attn_norm": cr.layer_norm(sd, _j(p, "attn.layernorm")),
+        "attn": _torch_mha(sd, _j(p, "attn.attn")),
+        "ccm": {
+            "norm": cr.layer_norm(sd, _j(p, "ccm.ccm.0")),
+            "pw1": cr.conv1d(sd, _j(p, "ccm.ccm.2")),
+            "dw": cr.conv1d(sd, _j(p, "ccm.ccm.4")),
+            "bn": {
+                "scale": cr._np(sd, _j(p, "ccm.ccm.5.weight")),
+                "bias": cr._np(sd, _j(p, "ccm.ccm.5.bias")),
+            },
+            "pw2": cr.conv1d(sd, _j(p, "ccm.ccm.7")),
+        },
+        "ffm2": {
+            "norm": cr.layer_norm(sd, _j(p, "ffm2.ffm.0")),
+            "fc1": cr.dense(sd, _j(p, "ffm2.ffm.1")),
+            "fc2": cr.dense(sd, _j(p, "ffm2.ffm.4")),
+        },
+        "post_norm": cr.layer_norm(sd, _j(p, "post_norm")),
+    }
+    stats = {
+        "ccm": {
+            "bn": {
+                "mean": cr._np(sd, _j(p, "ccm.ccm.5.running_mean")),
+                "var": cr._np(sd, _j(p, "ccm.ccm.5.running_var")),
+            }
+        }
+    }
+    return params, stats
+
+
+def _conv_transpose2d_1x3(sd, p) -> dict:
+    """torch ConvTranspose2d weight (Cin, Cout, 1, 3) -> flipped (3, Cin, Cout)."""
+    import numpy as np
+
+    w = cr._np(sd, _j(p, "weight"))[:, :, 0, ::-1]  # (Cin, Cout, 3) flipped
+    return {
+        "up_kernel": np.transpose(w, (2, 0, 1)),
+        "up_bias": cr._np(sd, _j(p, "bias")),
+    }
+
+
+def convert_denoiser(sd, num_tsblocks: int = 4):
+    """Reference MPNet state_dict -> {'params':..., 'batch_stats':...}."""
+    params = {
+        "dense_encoder": {
+            "conv1": cr.conv2d(sd, "dense_encoder.dense_conv_1.0"),
+            "norm1": _instance_norm(sd, "dense_encoder.dense_conv_1.1"),
+            "act1": _prelu(sd, "dense_encoder.dense_conv_1.2"),
+            "dense": _dense_block(sd, "dense_encoder.dense_block"),
+            "conv2": cr.conv2d(sd, "dense_encoder.dense_conv_2.0"),
+            "norm2": _instance_norm(sd, "dense_encoder.dense_conv_2.1"),
+            "act2": _prelu(sd, "dense_encoder.dense_conv_2.2"),
+        },
+        "mask_decoder": {
+            "dense": _dense_block(sd, "mask_decoder.dense_block"),
+            **_conv_transpose2d_1x3(sd, "mask_decoder.mask_conv.0"),
+            "conv1": cr.conv2d(sd, "mask_decoder.mask_conv.1"),
+            "norm": _instance_norm(sd, "mask_decoder.mask_conv.2"),
+            "act": _prelu(sd, "mask_decoder.mask_conv.3"),
+            "conv2": cr.conv2d(sd, "mask_decoder.mask_conv.4"),
+            "lsigmoid": {"slope": cr._np(sd, "mask_decoder.lsigmoid.slope").reshape(-1)},
+        },
+        "phase_decoder": {
+            "dense": _dense_block(sd, "phase_decoder.dense_block"),
+            **_conv_transpose2d_1x3(sd, "phase_decoder.phase_conv.0"),
+            "norm": _instance_norm(sd, "phase_decoder.phase_conv.1"),
+            "act": _prelu(sd, "phase_decoder.phase_conv.2"),
+            "conv_r": cr.conv2d(sd, "phase_decoder.phase_conv_r"),
+            "conv_i": cr.conv2d(sd, "phase_decoder.phase_conv_i"),
+        },
+    }
+    batch_stats = {}
+    for i in range(num_tsblocks):
+        t_params, t_stats = _conformer(sd, f"TSConformer.{i}.time_conformer")
+        f_params, f_stats = _conformer(sd, f"TSConformer.{i}.freq_conformer")
+        params[f"ts_{i}"] = {"time": t_params, "freq": f_params}
+        batch_stats[f"ts_{i}"] = {"time": t_stats, "freq": f_stats}
+    return {"params": params, "batch_stats": batch_stats}

@@ -144,6 +144,17 @@ def _install_stubs():
         sys.modules["torchmetrics"] = tm
         sys.modules["torchmetrics.classification"] = tm_cls
 
+    if "pesq" not in sys.modules:
+        pesq_m = _mk_module("pesq")
+        pesq_m.pesq = None
+        sys.modules["pesq"] = pesq_m
+
+    if "joblib" not in sys.modules:
+        jl = _mk_module("joblib")
+        jl.Parallel = None
+        jl.delayed = None
+        sys.modules["joblib"] = jl
+
     if "librosa" not in sys.modules:
         librosa = _mk_module("librosa")
         librosa_util = _mk_module("librosa.util")
