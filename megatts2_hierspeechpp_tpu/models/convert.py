@@ -334,3 +334,61 @@ def convert_denoiser(sd, num_tsblocks: int = 4):
         params[f"ts_{i}"] = {"time": t_params, "freq": f_params}
         batch_stats[f"ts_{i}"] = {"time": t_stats, "freq": f_stats}
     return {"params": params, "batch_stats": batch_stats}
+
+
+def disc_p(sd, p) -> dict:
+    out = {f"convs_{i}": cr.wn_conv2d(sd, _j(p, f"convs.{i}")) for i in range(5)}
+    out["conv_post"] = cr.wn_conv2d(sd, _j(p, "conv_post"))
+    return out
+
+
+def disc_r(sd, p) -> dict:
+    out = {f"convs_{i}": cr.wn_conv2d(sd, _j(p, f"convs.{i}")) for i in range(5)}
+    out["conv_post"] = cr.wn_conv2d(sd, _j(p, "conv_post"))
+    return out
+
+
+def convert_mpd(sd, prefix: str = "", n_res: int = 5) -> dict:
+    """Reference MultiPeriodDiscriminator -> MultiPeriodDiscriminator params."""
+    out = {}
+    for i in range(n_res):
+        out[f"disc_r_{i}"] = disc_r(sd, _j(prefix, f"discriminators.{i}"))
+    for i in range(5):
+        out[f"disc_p_{i}"] = disc_p(sd, _j(prefix, f"discriminators.{n_res + i}"))
+    return out
+
+
+def _sn_conv2d(sd, p):
+    """torch spectral_norm(Conv2d) -> (params, spectral state)."""
+    params = {
+        "kernel": cr.tc.conv2d_kernel(cr._np(sd, _j(p, "weight_orig"))),
+        "bias": cr._np(sd, _j(p, "bias")),
+    }
+    spectral = {
+        "u": cr._np(sd, _j(p, "weight_u")),
+        "v": cr._np(sd, _j(p, "weight_v")),
+    }
+    return params, spectral
+
+
+def spec_discriminator(sd, p, spectral_norm=False):
+    params, spec_state = {}, {}
+    for i in range(4):
+        if spectral_norm:
+            params[f"convs_{i}"], spec_state[f"convs_{i}"] = _sn_conv2d(
+                sd, _j(p, f"discriminators.{i}")
+            )
+        else:
+            params[f"convs_{i}"] = cr.wn_conv2d(sd, _j(p, f"discriminators.{i}"))
+    if spectral_norm:
+        params["out"], spec_state["out"] = _sn_conv2d(sd, _j(p, "out"))
+    else:
+        params["out"] = cr.wn_conv2d(sd, _j(p, "out"))
+    return params, spec_state
+
+
+def convert_mrsd(sd, prefix: str = ""):
+    """Reference MultiResSpecDiscriminator -> {'params':..., 'spectral':...}."""
+    p0, s0 = spec_discriminator(sd, _j(prefix, "discriminators.0"), spectral_norm=True)
+    p1, _ = spec_discriminator(sd, _j(prefix, "discriminators.1"), spectral_norm=False)
+    return {"params": {"disc_0": p0, "disc_1": p1}, "spectral": {"disc_0": s0}}

@@ -87,6 +87,9 @@ def _install_stubs():
                 self.register_buffer("window", window_fn(self.win_length))
 
             def forward(self, x):
+                # torchaudio handles leading batch/channel dims by flattening
+                shape = x.shape
+                x = x.reshape(-1, shape[-1])
                 spec = torch.stft(
                     x,
                     self.n_fft,
@@ -95,10 +98,13 @@ def _install_stubs():
                     window=self.window,
                     center=self.center,
                     pad_mode=self.pad_mode,
-                    normalized=self.normalized,
+                    normalized=False,
                     onesided=True,
                     return_complex=True,
                 )
+                if self.normalized:  # torchaudio True == window-L2 normalization
+                    spec = spec / self.window.pow(2.0).sum().sqrt()
+                spec = spec.reshape(shape[:-1] + spec.shape[-2:])
                 if self.power is None:
                     return spec
                 return spec.abs() ** self.power
