@@ -332,7 +332,11 @@ class TTVModel(nn.Module):
         x2v = self.w2v_encoder(x_frame, y_mask, g, deterministic=deterministic)
         w2v_pred = self.w2v_decoder(x2v, y_mask, g, deterministic=deterministic)
 
-        pp_in = w2v if teacher_force_w2v else w2v_pred
+        # teacher_force_w2v may be a traced bool (sampled per step in training)
+        if isinstance(teacher_force_w2v, bool):
+            pp_in = w2v if teacher_force_w2v else w2v_pred
+        else:
+            pp_in = jnp.where(teacher_force_w2v, w2v, w2v_pred)
         pred_lf0 = self.pp(pp_in, g)[..., 0] * pitch_mask[..., 0]
         lf0 = jnp.log(pitch.astype(jnp.float32) + 1)
         l_pitch = jnp.mean(jnp.abs(pred_lf0 - lf0))

@@ -1,0 +1,65 @@
+"""s2 trainer smoke test: full GAN step under pjit on an 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megatts2_hierspeechpp_tpu.models.discriminators import MultiResSpecDiscriminator
+from megatts2_hierspeechpp_tpu.models.ttv import TTVModel
+from megatts2_hierspeechpp_tpu.parallel.mesh import make_mesh, shard_batch
+from megatts2_hierspeechpp_tpu.train.optim import adamw
+from megatts2_hierspeechpp_tpu.train.s2 import create_state, make_train_step
+
+
+def tiny_batch(b=8, n=6, mel_len=16, seed=0):
+    rng = np.random.default_rng(seed)
+    dur = np.zeros((b, n), np.float32)
+    x_lengths = np.full((b,), n, np.int32)
+    for i in range(b):
+        d = rng.integers(1, 6, n).astype(np.float32)
+        d = d * (2 * mel_len) / d.sum()
+        d = np.floor(d)
+        d[0] += 2 * mel_len - d.sum()
+        dur[i] = d
+    return {
+        "x_ids": rng.integers(0, 40, (b, n)),
+        "tone": rng.integers(0, 10, (b, n)),
+        "language": rng.integers(0, 3, (b, n)),
+        "x_lengths": x_lengths,
+        "w2v": rng.standard_normal((b, mel_len, 1024)).astype(np.float32),
+        "w2v_lengths": np.full((b,), mel_len, np.int32),
+        "mel": rng.standard_normal((b, mel_len, 80)).astype(np.float32),
+        "mel_lengths": np.full((b,), mel_len, np.int32),
+        "pitch": np.abs(rng.standard_normal((b, mel_len * 4))).astype(np.float32),
+        "pitch_lengths": np.full((b,), mel_len * 4, np.int32),
+        "dur": dur,
+        "mrte_mel": rng.standard_normal((b, 24, 80)).astype(np.float32),
+        "mrte_mel_lengths": np.full((b,), 24, np.int32),
+    }
+
+
+@pytest.mark.slow
+def test_s2_train_step_runs_on_mesh():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+    ttv = TTVModel(n_vocab=40, n_tone=10, n_language=3)
+    disc = MultiResSpecDiscriminator()
+    tx_g = adamw(1e-4, steps_per_epoch=10)
+    tx_d = adamw(1e-4, steps_per_epoch=10)
+
+    batch = tiny_batch()
+    with mesh:
+        state = create_state(ttv, disc, tx_g, tx_d, jax.random.PRNGKey(0), batch)
+        train_step = jax.jit(make_train_step(ttv, disc, tx_g, tx_d))
+        sharded = shard_batch(mesh, batch)
+        state, metrics = train_step(state, sharded, jax.random.PRNGKey(1))
+        state, metrics = train_step(state, sharded, jax.random.PRNGKey(2))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.step) == 2
+    # VQ EMA stats must have moved
+    cs = state.vq["quantizer"]["vq_0"]["codebook"]["cluster_size"]
+    assert float(jnp.sum(cs)) > 0
