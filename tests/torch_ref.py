@@ -150,6 +150,14 @@ def _install_stubs():
         sys.modules["torchmetrics"] = tm
         sys.modules["torchmetrics.classification"] = tm_cls
 
+    for name in ("unidecode", "phonemizer", "inflect"):
+        if name not in sys.modules:
+            m = _mk_module(name)
+            m.unidecode = lambda s: s
+            m.phonemize = None
+            m.engine = lambda: None
+            sys.modules[name] = m
+
     if "pesq" not in sys.modules:
         pesq_m = _mk_module("pesq")
         pesq_m.pesq = None
