@@ -392,3 +392,54 @@ def convert_mrsd(sd, prefix: str = ""):
     p0, s0 = spec_discriminator(sd, _j(prefix, "discriminators.0"), spectral_norm=True)
     p1, _ = spec_discriminator(sd, _j(prefix, "discriminators.1"), spectral_norm=False)
     return {"params": {"disc_0": p0, "disc_1": p1}, "spectral": {"disc_0": s0}}
+
+
+def convert_wav2vec2(sd, output_layer: int = 7, pos_kernel: int = 128) -> dict:
+    """HF Wav2Vec2ForPreTraining (layer-norm feat-extract, stable-LN encoder)
+    state_dict -> Wav2Vec2 params. Weight-norm on pos_conv fused (dim=2)."""
+    import numpy as np
+
+    pfx = "wav2vec2." if any(k.startswith("wav2vec2.") for k in sd) else ""
+
+    fe = {}
+    for i in range(7):
+        base = f"{pfx}feature_extractor.conv_layers.{i}"
+        fe[f"conv_{i}"] = cr.conv1d(sd, f"{base}.conv")
+        fe[f"ln_{i}"] = cr.layer_norm(sd, f"{base}.layer_norm")
+
+    params = {
+        "feature_extractor": fe,
+        "fp_ln": cr.layer_norm(sd, f"{pfx}feature_projection.layer_norm"),
+        "fp_proj": cr.dense(sd, f"{pfx}feature_projection.projection"),
+    }
+
+    # pos conv: weight_norm dim=2 -> w = g * v / ||v||_(dims 0,1)
+    base = f"{pfx}encoder.pos_conv_embed.conv"
+    if f"{base}.weight_g" in sd:
+        g = cr._np(sd, f"{base}.weight_g")  # (1, 1, K)
+        v = cr._np(sd, f"{base}.weight_v")  # (Cout, Cin/g, K)
+    else:
+        g = cr._np(sd, f"{base}.parametrizations.weight.original0")
+        v = cr._np(sd, f"{base}.parametrizations.weight.original1")
+    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / norm
+    params["pos_conv"] = {
+        "kernel": cr.tc.conv1d_kernel(w),
+        "bias": cr._np(sd, f"{base}.bias"),
+    }
+
+    for i in range(output_layer):
+        base = f"{pfx}encoder.layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn_ln": cr.layer_norm(sd, f"{base}.layer_norm"),
+            "attn": {
+                "q_proj": cr.dense(sd, f"{base}.attention.q_proj"),
+                "k_proj": cr.dense(sd, f"{base}.attention.k_proj"),
+                "v_proj": cr.dense(sd, f"{base}.attention.v_proj"),
+                "out_proj": cr.dense(sd, f"{base}.attention.out_proj"),
+            },
+            "ffn_ln": cr.layer_norm(sd, f"{base}.final_layer_norm"),
+            "ff1": cr.dense(sd, f"{base}.feed_forward.intermediate_dense"),
+            "ff2": cr.dense(sd, f"{base}.feed_forward.output_dense"),
+        }
+    return params
