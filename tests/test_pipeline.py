@@ -1,0 +1,89 @@
+"""End-to-end pipeline smoke test: text -> wav with randomly initialized
+full-architecture models (CPU). Verifies stage plumbing, shapes and finiteness
+of the full zero-shot TTS path and the VC path."""
+import numpy as np
+import pytest
+
+import jax
+
+from megatts2_hierspeechpp_tpu.data import text as text_frontend
+from megatts2_hierspeechpp_tpu.infer.pipeline import TTSPipeline
+from megatts2_hierspeechpp_tpu.models.plm import ProsodyLM
+from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
+from megatts2_hierspeechpp_tpu.models.ttv import TTVModel
+from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+from megatts2_hierspeechpp_tpu.models.wav2vec2 import Wav2Vec2
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(0)
+    ttv = TTVModel(n_vocab=text_frontend.N_VOCAB, n_tone=text_frontend.N_TONE,
+                   n_language=text_frontend.N_LANGUAGE)
+    b, n, t = 1, 4, 16
+    ttv_vars = jax.jit(ttv.init)(
+        {"params": rng},
+        jnp.zeros((b, n), jnp.int32), jnp.zeros((b, n), jnp.int32),
+        jnp.zeros((b, n), jnp.int32), jnp.full((b,), n, jnp.int32),
+        jnp.zeros((b, t, 1024)), jnp.full((b,), t, jnp.int32),
+        jnp.zeros((b, t, 80)), jnp.full((b,), t, jnp.int32),
+        jnp.zeros((b, 4 * t)), jnp.full((b,), 4 * t, jnp.int32),
+        jnp.full((b, n), 2 * t / n, jnp.float32),
+        jnp.zeros((b, 24, 80)), jnp.full((b,), 24, jnp.int32),
+    )
+
+    plm = ProsodyLM()
+    plm_params = jax.jit(plm.init)(
+        {"params": rng}, jnp.zeros((1, 8, 256)), jnp.zeros((1, 8), jnp.int32),
+        jnp.full((1,), 8, jnp.int32),
+    )["params"]
+
+    voc = HierVocoder()
+    voc_vars = jax.jit(voc.init)(
+        rng, jnp.zeros((1, 8, 80)), jnp.zeros((1, 8, 1024)),
+        jnp.ones((1, 8, 1)), jnp.zeros((1, 32, 1)),
+    )
+
+    sr = SpeechSR(rate_num=3, rate_den=1)
+    sr_params = jax.jit(sr.init)(rng, jnp.zeros((1, 320, 1)))["params"]
+
+    return TTSPipeline(
+        ttv=ttv, ttv_vars=ttv_vars, plm=plm, plm_params=plm_params,
+        vocoder=voc, vocoder_params={"params": voc_vars["params"]},
+        speechsr=sr, speechsr_params=sr_params,
+    )
+
+
+@pytest.mark.slow
+def test_tts_end_to_end(pipeline):
+    prompt = (np.random.default_rng(0).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    wav = pipeline.tts("sil zh ang1 h ao3 sp", prompt, output_sr=16000)
+    assert wav.ndim == 1 and len(wav) > 1000
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0
+
+
+@pytest.mark.slow
+def test_tts_48k_output(pipeline):
+    prompt = (np.random.default_rng(1).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    wav16 = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, seed=7)
+    wav48 = pipeline.tts("sil zh ang1 sp", prompt, output_sr=48000, seed=7)
+    assert abs(len(wav48) - 3 * len(wav16)) <= 3
+
+
+@pytest.mark.slow
+def test_vc_end_to_end(pipeline):
+    import jax.numpy as jnp
+
+    w2v = Wav2Vec2(hidden_size=1024, n_heads=16, ffn_dim=4096, output_layer=2)
+    w2v_params = jax.jit(w2v.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3200))
+    )["params"]
+
+    rng = np.random.default_rng(2)
+    src = rng.uniform(-0.3, 0.3, 16000).astype(np.float32)
+    trg = rng.uniform(-0.3, 0.3, 24000).astype(np.float32)
+    wav = pipeline.vc(src, trg, w2v, w2v_params)
+    assert wav.ndim == 1 and np.isfinite(wav).all()
