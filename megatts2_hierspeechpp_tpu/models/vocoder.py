@@ -402,29 +402,37 @@ class HierVocoder(nn.Module):
         _, e_ = self.sn(z, g)
         return e_
 
-    def train_step_outputs(self, x_spec, x_audio, x_mel, w2v, f0, x_mask, rngs):
-        """Training forward (capability addition; reference ships no vocoder
-        trainer): returns wav, posteriors and flow-matched latents for the
-        VAE+GAN objective."""
+    def train_encode(self, x_spec, x_audio, x_mel, w2v, f0, x_mask, rngs):
+        """Training-side encoders (capability addition; reference ships no
+        vocoder trainer): acoustic + source-filter posteriors, forward flows,
+        prosody-mel distillation head and the style vector. The decoder runs
+        separately on random slices (decode_slice) to bound waveform length."""
         g = self.emb_g(x_mel, x_mask)
         z_q, m_q, logs_q = self.enc_q(
             x_spec, x_audio, x_mask, g, rng=rngs["z_q"], sample=True
         )
-        z_sf, m_p, logs_p = self.enc_p(w2v, f0, x_mask, g, rng=rngs["z_p"], sample=True)
-        z_l, m_l, logs_l = self.enc_p_l(
-            w2v, f0, x_mask, g, rng=rngs["z_l"], sample=True
-        )
+        _, m_p, logs_p = self.enc_p(w2v, f0, x_mask, g, sample=False)
+        _, m_l, logs_l = self.enc_p_l(w2v, f0, x_mask, g, sample=False)
         # acoustic z -> semantic prior space
         z_f = self.flow(z_q, x_mask, g, reverse=False)
         z_fl = self.flow_l(z_f, x_mask, g, reverse=False)
         mel_rec = self.mel_decoder(z_q, x_mask, g=g)
-        e, e_ = self.sn(z_q, g)
-        wav = self.dec(z_q, e, g=g)
         return {
-            "wav": wav,
-            "e_": e_,
+            "g": g,
             "mel_rec": mel_rec,
             "z_q": z_q, "m_q": m_q, "logs_q": logs_q,
             "z_f": z_f, "m_p": m_p, "logs_p": logs_p,
             "z_fl": z_fl, "m_l": m_l, "logs_l": logs_l,
         }
+
+    def decode_slice(self, z: jnp.ndarray, g: jnp.ndarray):
+        """z: (B, T_seg, C) latent slice -> (wav (B, 320*T_seg, 1), e_)."""
+        e, e_ = self.sn(z, g)
+        return self.dec(z, e, g=g), e_
+
+    def init_all(self, x_spec, x_audio, x_mel, w2v, f0, x_mask, rngs):
+        """Touches every submodule so `init(..., method=init_all)` creates the
+        full training parameter set (enc_q etc. are unused by __call__)."""
+        out = self.train_encode(x_spec, x_audio, x_mel, w2v, f0, x_mask, rngs)
+        wav, e_ = self.decode_slice(out["z_q"], out["g"])
+        return wav

@@ -74,6 +74,8 @@ def mel_filterbank(
     htk=True, slaney_norm=False  == torchaudio melscale_fbanks defaults
     htk=False, slaney_norm=True  == librosa.filters.mel defaults
     """
+    if fmax is None:
+        fmax = sr / 2
     n_freqs = n_fft // 2 + 1
     all_freqs = np.linspace(0, sr / 2, n_freqs)
     to_mel = _hz_to_mel_htk if htk else _hz_to_mel_slaney

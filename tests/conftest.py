@@ -20,6 +20,21 @@ if os.environ.get("MEGATTS_TEST_TPU", "0") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the trainer smoke tests compile large GAN
+# graphs; repeated suite runs hit the cache and finish in seconds.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+)
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
