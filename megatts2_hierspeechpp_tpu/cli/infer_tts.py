@@ -1,0 +1,96 @@
+"""Zero-shot TTS inference CLI (inference_plm.py equivalent).
+
+Usage:
+  python -m megatts2_hierspeechpp_tpu.cli.infer_tts \
+    --input_txt texts.txt --input_prompt prompt.wav --output_dir out \
+    --ckpt_ttv ttv_G.pth --ckpt_plm P1.pth --ckpt_voc hierspeechpp.pth \
+    [--ckpt_sr speechsr48k/G_100000.pth] [--ckpt_denoiser g_best] \
+    [--output_sr 48000] [--denoise_ratio 0.8]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from scipy.io import wavfile
+
+from megatts2_hierspeechpp_tpu.infer.pipeline import build_pipeline_from_reference_ckpts
+
+
+def load_wav_16k(path: str) -> np.ndarray:
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data[:, 0]
+    if sr != 16000:
+        # kaiser-windowed sinc resample to 16 kHz
+        from math import gcd
+
+        import jax.numpy as jnp
+
+        from megatts2_hierspeechpp_tpu.ops.resample import downsample1d, upsample1d
+
+        g = gcd(sr, 16000)
+        up, down = 16000 // g, sr // g
+        x = jnp.asarray(data)[None, :, None]
+        if up > 1:
+            x = upsample1d(x, up)
+        if down > 1:
+            x = downsample1d(x, down)
+        data = np.asarray(x)[0, :, 0]
+    return data
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_txt", required=True)
+    p.add_argument("--input_prompt", required=True)
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--ckpt_ttv", required=True)
+    p.add_argument("--ckpt_plm", required=True)
+    p.add_argument("--ckpt_voc", required=True)
+    p.add_argument("--ckpt_sr", default=None)
+    p.add_argument("--ckpt_denoiser", default=None)
+    p.add_argument("--output_sr", type=int, default=16000)
+    p.add_argument("--denoise_ratio", type=float, default=0.0)
+    p.add_argument("--noise_scale_vc", type=float, default=0.333)
+    p.add_argument("--length_scale", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--seed", type=int, default=1234)
+    args = p.parse_args()
+
+    pipe = build_pipeline_from_reference_ckpts(
+        args.ckpt_ttv, args.ckpt_plm, args.ckpt_voc,
+        speechsr_ckpt=args.ckpt_sr, denoiser_ckpt=args.ckpt_denoiser,
+        speechsr_rate=args.output_sr if args.output_sr != 16000 else 48000,
+    )
+    prompt = load_wav_16k(args.input_prompt)
+
+    with open(args.input_txt, encoding="utf-8") as f:
+        lines = [l.strip() for l in f if l.strip()]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, text in enumerate(lines):
+        wav = pipe.tts(
+            text, prompt,
+            denoise_ratio=args.denoise_ratio,
+            noise_scale_vc=args.noise_scale_vc,
+            length_scale=args.length_scale,
+            output_sr=args.output_sr,
+            seed=args.seed,
+            top_k=args.top_k,
+        )
+        out = (wav * 32767.0).astype(np.int16)
+        path = os.path.join(args.output_dir, f"{i:03d}.wav")
+        wavfile.write(path, args.output_sr, out)
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Training-loop orchestration shared by the CLI trainers.
+
+Replaces the reference's per-rank loops (train_ms.py:186-349) with a
+single-program pjit loop: epoch-seeded bucket batches, host data loading with
+simple double-buffered prefetch, jitted train step, periodic scalar logging
+(JSONL + stdout) and checkpointing with latest-step resume.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from queue import Queue
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from megatts2_hierspeechpp_tpu.train import checkpoints as ckpt_lib
+
+log = logging.getLogger("megatts2")
+
+
+class ScalarLogger:
+    """JSONL scalar logger (observability equivalent of the reference's
+    TensorBoard SummaryWriter, train_ms.py:324-343)."""
+
+    def __init__(self, model_dir: str):
+        os.makedirs(model_dir, exist_ok=True)
+        self.path = os.path.join(model_dir, "scalars.jsonl")
+        self._f = open(self.path, "a")
+
+    def write(self, step: int, scalars: Dict[str, float]):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+
+def prefetch(iterable: Iterable, size: int = 2):
+    """Host-side loader prefetch (the reference used DataLoader workers)."""
+    q: Queue = Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def producer():
+        for item in iterable:
+            q.put(item)
+        q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item
+
+
+def run_training(
+    state,
+    train_step: Callable,
+    batch_iter_fn: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+    model_dir: str,
+    epochs: int,
+    seed: int = 1234,
+    log_interval: int = 20,
+    save_interval: int = 5000,
+    shard_fn: Optional[Callable] = None,
+    start_epoch: int = 0,
+):
+    """Generic loop; `batch_iter_fn(epoch)` yields collated numpy batches."""
+    logger = ScalarLogger(model_dir)
+    rng = jax.random.PRNGKey(seed)
+    step = int(np.asarray(state.step))
+    t_last = time.time()
+
+    for epoch in range(start_epoch, epochs):
+        for batch in prefetch(batch_iter_fn(epoch)):
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+            if step % log_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                metrics["steps_per_sec"] = log_interval / max(dt, 1e-6)
+                t_last = time.time()
+                logger.write(step, metrics)
+                log.info("epoch %d step %d %s", epoch, step, metrics)
+            if step % save_interval == 0:
+                ckpt_lib.save(os.path.join(model_dir, "ckpt"), state, step)
+        # epoch checkpoint
+        ckpt_lib.save(os.path.join(model_dir, "ckpt"), state, step)
+    return state
