@@ -443,3 +443,34 @@ def convert_wav2vec2(sd, output_layer: int = 7, pos_kernel: int = 128) -> dict:
             "ff2": cr.dense(sd, f"{base}.feed_forward.output_dense"),
         }
     return params
+
+
+def t2s_layer(sd, p) -> dict:
+    return {
+        "in_proj_weight": cr._np(sd, _j(p, "self_attn.in_proj_weight")),
+        "in_proj_bias": cr._np(sd, _j(p, "self_attn.in_proj_bias")),
+        "out_proj": cr.dense(sd, _j(p, "self_attn.out_proj")),
+        "linear1": cr.dense(sd, _j(p, "linear1")),
+        "linear2": cr.dense(sd, _j(p, "linear2")),
+        "norm1": cr.layer_norm(sd, _j(p, "norm1")),
+        "norm2": cr.layer_norm(sd, _j(p, "norm2")),
+    }
+
+
+def convert_t2s(sd, n_layers: int = 12) -> dict:
+    """Reference AR Text2SemanticDecoder state_dict -> Text2Semantic params."""
+    params = {
+        "bert_proj": cr.dense(sd, "bert_proj"),
+        "ar_text_embedding": {
+            "embedding": cr._np(sd, "ar_text_embedding.word_embeddings.weight")
+        },
+        "ar_audio_embedding": {
+            "embedding": cr._np(sd, "ar_audio_embedding.word_embeddings.weight")
+        },
+        "text_pos_alpha": cr._np(sd, "ar_text_position.alpha"),
+        "audio_pos_alpha": cr._np(sd, "ar_audio_position.alpha"),
+        "ar_predict_layer": cr.dense(sd, "ar_predict_layer"),
+    }
+    for i in range(n_layers):
+        params[f"layer_{i}"] = t2s_layer(sd, f"h.layers.{i}")
+    return params

@@ -190,6 +190,27 @@ def add_reference_path():
         sys.path.insert(0, REFERENCE)
 
 
+def preload_ar_patched_mha():
+    """The reference's AR/modules/patched_mha_with_cache.py uses typing.Tuple
+    without importing it (latent bug; it only imports under older torch where
+    `functional` re-exported typing names). Pre-exec it with the missing
+    imports injected so the AR stack is importable as an oracle."""
+    name = "AR.modules.patched_mha_with_cache"
+    if name in sys.modules:
+        return
+    add_reference_path()
+    import importlib
+
+    importlib.import_module("AR")
+    importlib.import_module("AR.modules")
+    path = f"{REFERENCE}/AR/modules/patched_mha_with_cache.py"
+    src = "from typing import Tuple, Optional, List\n" + open(path).read()
+    mod = _mk_module(name)
+    mod.__file__ = path
+    sys.modules[name] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+
+
 def torch_seed(seed: int = 0):
     torch.manual_seed(seed)
 
