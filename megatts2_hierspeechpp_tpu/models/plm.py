@@ -266,3 +266,58 @@ def decode(
     inputs = (positions, jnp.swapaxes(tc_latent, 0, 1))
     (_, _, _, _), codes = jax.lax.scan(step, (k_cache, v_cache, prev, rng0), inputs)
     return jnp.swapaxes(codes, 0, 1)
+
+
+class ProsodyLMNonCausal(nn.Module):
+    """Megatts2PLM variant A (t2w2v_transformer.py:531-624): the rel-pos
+    attentions.Encoder over the same concat input — kept for checkpoint
+    compatibility; the reference notes it lacks a causal mask and ships
+    Megatts2PLM1 instead."""
+
+    n_layers: int = 4
+    n_heads: int = 4
+    vq_dim: int = 20
+    tc_latent_dim: int = 256
+    vq_bins: int = 1024
+    kernel_size: int = 9
+    p_dropout: float = 0.1
+    dtype: Dtype | None = None
+
+    @property
+    def d_model(self):
+        return self.vq_dim + self.tc_latent_dim
+
+    @property
+    def go_id(self):
+        return self.vq_bins
+
+    @nn.compact
+    def __call__(self, tc_latent, p_codes, lens, deterministic: bool = True):
+        from megatts2_hierspeechpp_tpu.nn.attention import Encoder
+
+        b, t, _ = tc_latent.shape
+        go = jnp.full((b, 1), self.go_id, p_codes.dtype)
+        inputs = jnp.concatenate([go, p_codes[:, :-1]], axis=1)
+        targets = p_codes
+
+        emb = nn.Embed(self.vq_bins + 2, self.vq_dim,
+                       embedding_init=nn.initializers.normal(1.0),
+                       name="pc_embedding")(inputs)
+        alpha = self.param("pos_alpha", nn.initializers.ones, (1,))
+        x = jnp.concatenate([tc_latent, emb], axis=-1)
+        x = x + alpha * sine_positions(t, self.d_model)[None]
+
+        mask = (jnp.arange(t)[None, :] < lens[:, None])[:, :, None].astype(x.dtype)
+        x = Encoder(self.d_model, self.d_model * 4, self.n_heads, self.n_layers,
+                    self.kernel_size, self.p_dropout, dtype=self.dtype,
+                    name="plm")(x * mask, mask, deterministic=deterministic)
+        logits = Dense(self.vq_bins, use_bias=False, dtype=self.dtype,
+                       name="predict_layer")(x)
+
+        valid = mask[..., 0]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt_clip = jnp.clip(targets, 0, self.vq_bins - 1)
+        nll = -jnp.take_along_axis(logp, tgt_clip[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(nll * valid)
+        return {"logits": logits, "targets": targets, "loss": loss,
+                "loss_log": loss / jnp.sum(lens)}
