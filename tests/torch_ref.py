@@ -158,16 +158,14 @@ def _install_stubs():
             m.engine = lambda: None
             sys.modules[name] = m
 
-    if "pesq" not in sys.modules:
+    # only stub genuinely-missing modules (joblib/sklearn are installed and
+    # must not be shadowed — transformers imports sklearn -> joblib)
+    import importlib.util
+
+    if importlib.util.find_spec("pesq") is None and "pesq" not in sys.modules:
         pesq_m = _mk_module("pesq")
         pesq_m.pesq = None
         sys.modules["pesq"] = pesq_m
-
-    if "joblib" not in sys.modules:
-        jl = _mk_module("joblib")
-        jl.Parallel = None
-        jl.delayed = None
-        sys.modules["joblib"] = jl
 
     if "librosa" not in sys.modules:
         librosa = _mk_module("librosa")
