@@ -215,27 +215,35 @@ class TTVModel(nn.Module):
     prosody_size: int = 20
     vq_bins: int = 1024
     stride: int = 8
+    # reference-fixed depths; reducible for fast tests
+    text_layers: int = 3
+    mel_enc_layers: int = 2
+    w2v_enc_layers: int = 3
+    w2v_dec_layers: int = 8
     dtype: Dtype | None = None
 
     def setup(self):
         ic = self.inter_channels
         self.enc_p = TextEncoder(
             self.n_vocab, self.n_tone, self.n_language, ic, ic * 4,
-            n_heads=4, n_layers=3, kernel_size=9, p_dropout=0.2, dtype=self.dtype,
+            n_heads=4, n_layers=self.text_layers, kernel_size=9, p_dropout=0.2,
+            dtype=self.dtype,
         )
         self.mel_encoder = MelEncoder(
             out_channels=256, hidden_channels=80, filter_channels=80 * 4,
-            n_heads=4, n_layers=2, kernel_size=9, p_dropout=0.2, dtype=self.dtype,
+            n_heads=4, n_layers=self.mel_enc_layers, kernel_size=9, p_dropout=0.2,
+            dtype=self.dtype,
         )
         self.mha = MultiHeadAttention(ic, ic, 4, window_size=None, p_dropout=0.2,
                                       dtype=self.dtype)
         self.cond_g = Dense(ic, dtype=self.dtype)
         self.w2v_encoder = W2VEncoder(
-            ic, ic * 4, 4, 3, 9, 0.2, self.gin_channels, dtype=self.dtype
+            ic, ic * 4, 4, self.w2v_enc_layers, 9, 0.2, self.gin_channels,
+            dtype=self.dtype,
         )
         self.w2v_decoder = W2VDecoder(
-            ic * 2, 5, 1, 8, output_size=1024, gin_channels=256, p_dropout=0.1,
-            dtype=self.dtype,
+            ic * 2, 5, 1, self.w2v_dec_layers, output_size=1024,
+            gin_channels=256, p_dropout=0.1, dtype=self.dtype,
         )
         self.emb_g = StyleEncoder(80, 256, 256, dtype=self.dtype)
         self.duration_predictor = DurationPredictor(

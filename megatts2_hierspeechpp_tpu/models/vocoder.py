@@ -309,27 +309,35 @@ class HierVocoder(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (8, 11, 8, 4, 4)
     gin_channels: int = 256
     prosody_size: int = 20
+    posterior_wn_layers: int = 16  # reference-fixed; reducible for small tests
+    n_flows: int = 4
+    flow_layers: int = 3
     dtype: Dtype | None = None
 
     def setup(self):
         self.enc_p_l = PosteriorSFEncoder(
-            1024, self.inter_channels, self.hidden_channels, 5, 1, 16,
+            1024, self.inter_channels, self.hidden_channels, 5, 1,
+            self.posterior_wn_layers,
             gin_channels=self.gin_channels, dtype=self.dtype,
         )
         self.flow_l = ResidualCouplingBlockTransformer(
-            self.inter_channels, self.hidden_channels, n_layers=3, n_flows=4,
+            self.inter_channels, self.hidden_channels, n_layers=self.flow_layers,
+            n_flows=self.n_flows,
             gin_channels=self.gin_channels, attention_heads=2, dtype=self.dtype,
         )
         self.enc_p = PosteriorSFEncoder(
-            1024, self.inter_channels, self.hidden_channels, 5, 1, 16,
+            1024, self.inter_channels, self.hidden_channels, 5, 1,
+            self.posterior_wn_layers,
             gin_channels=self.gin_channels, dtype=self.dtype,
         )
         self.enc_q = PosteriorAudioEncoder(
-            self.spec_channels, self.inter_channels, self.hidden_channels, 5, 1, 16,
+            self.spec_channels, self.inter_channels, self.hidden_channels, 5, 1,
+            self.posterior_wn_layers,
             gin_channels=self.gin_channels, dtype=self.dtype,
         )
         self.flow = ResidualCouplingBlockTransformer(
-            self.inter_channels, self.hidden_channels, n_layers=3, n_flows=4,
+            self.inter_channels, self.hidden_channels, n_layers=self.flow_layers,
+            n_flows=self.n_flows,
             gin_channels=self.gin_channels, attention_heads=2, dtype=self.dtype,
         )
         self.mel_decoder = MelDecoder(

@@ -62,7 +62,8 @@ def test_vocoder_train_step_runs():
     disc = MultiPeriodDiscriminator(
         resolutions=((256, 64, 256), (128, 32, 128)), periods=(2, 3)
     )
-    voc = HierVocoder(upsample_initial_channel=64)
+    voc = HierVocoder(upsample_initial_channel=64, posterior_wn_layers=4,
+                      n_flows=1, flow_layers=1)
     tx_g = adamw(1e-4, steps_per_epoch=10)
     tx_d = adamw(1e-4, steps_per_epoch=10)
     state = vt.create_state(voc, disc, tx_g, tx_d, jax.random.PRNGKey(0))

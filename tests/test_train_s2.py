@@ -44,7 +44,8 @@ def test_s2_train_step_runs_on_mesh():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8
 
-    ttv = TTVModel(n_vocab=40, n_tone=10, n_language=3)
+    ttv = TTVModel(n_vocab=40, n_tone=10, n_language=3, text_layers=1,
+                   mel_enc_layers=1, w2v_enc_layers=1, w2v_dec_layers=2)
     disc = MultiResSpecDiscriminator()
     tx_g = adamw(1e-4, steps_per_epoch=10)
     tx_d = adamw(1e-4, steps_per_epoch=10)
