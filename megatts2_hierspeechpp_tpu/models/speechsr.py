@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.activations import SnakeBeta
+from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta
 from megatts2_hierspeechpp_tpu.nn.conv import Conv1d, Dtype, WNConv1d
 from megatts2_hierspeechpp_tpu.nn.resblocks import AMPBlock
 from megatts2_hierspeechpp_tpu.ops.resample import activation1d
@@ -55,6 +55,6 @@ class SpeechSR(nn.Module):
             r = AMPBlock(ch, k, tuple(d), dtype=self.dtype, name=f"resblocks_{j}")(y)
             xs = r if xs is None else xs + r
         y = xs / len(self.resblock_kernel_sizes)
-        y = activation1d(y, SnakeBeta(ch, alpha_logscale=True, name="activation_post"))
+        y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
         y = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
         return jnp.tanh(y)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.activations import SnakeBeta
+from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta, SnakeBeta
 from megatts2_hierspeechpp_tpu.nn.attention import Encoder
 from megatts2_hierspeechpp_tpu.nn.basic import Dense, leaky_relu
 from megatts2_hierspeechpp_tpu.nn.conv import (
@@ -118,8 +118,7 @@ class PosteriorAudioEncoder(nn.Module):
                 )(a)
                 xs = r if xs is None else xs + r
             a = xs / 3.0
-        post_act = SnakeBeta(chans[-1], alpha_logscale=True, name="activation_post")
-        a = activation1d(a, post_act)
+        a = AASnakeBeta(chans[-1], alpha_logscale=True, name="activation_post")(a)
         a = Conv1d(self.hidden_channels, 7, padding=3, dtype=self.dtype, name="conv_post")(a)
 
         x = Dense(self.hidden_channels, dtype=self.dtype, name="pre")(x_spec) * x_mask
@@ -202,8 +201,7 @@ class SourceNetwork(nn.Module):
                              name=f"resblocks_{i * 3 + j}")(y)
                 xs = r if xs is None else xs + r
             y = xs / 3.0
-        post_act = SnakeBeta(ch, alpha_logscale=True, name="activation_post")
-        y = activation1d(y, post_act)
+        y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
         e_ = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
         return y, e_
 
@@ -285,8 +283,7 @@ class Generator(nn.Module):
                 xs = r if xs is None else xs + r
             y = xs / num_kernels
 
-        post_act = SnakeBeta(ch, alpha_logscale=True, name="activation_post")
-        y = activation1d(y, post_act)
+        y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
         y = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
         return jnp.tanh(y)
 

@@ -45,3 +45,47 @@ class SnakeBeta(nn.Module):
         alpha = alpha.astype(x.dtype)
         beta = beta.astype(x.dtype)
         return x + (1.0 / (beta + _EPS)) * jnp.square(jnp.sin(x * alpha))
+
+
+class AASnakeBeta(nn.Module):
+    """Anti-aliased SnakeBeta: up2 -> snake -> down2 as one op.
+
+    Same parameters (alpha/beta) and numerics as Activation1d(SnakeBeta)
+    (reference AMPBlock activations); on TPU dispatches to the fused Pallas
+    kernel (ops/pallas_snake.py — single VMEM pass instead of three HBM
+    round-trips), elsewhere to the composed ops/resample path.
+    """
+
+    channels: int
+    alpha_logscale: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        import jax
+
+        from megatts2_hierspeechpp_tpu.ops.pallas_snake import fused_aa_snakebeta
+        from megatts2_hierspeechpp_tpu.ops.resample import activation1d
+
+        init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        beta = self.param("beta", init, (self.channels,))
+        if self.alpha_logscale:
+            alpha_v = jnp.exp(alpha)
+            beta_v = jnp.exp(beta)
+        else:
+            alpha_v, beta_v = alpha, beta
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("MEGATTS_NO_PALLAS", "0") != "1"
+        )
+        if use_pallas:
+            return fused_aa_snakebeta(x, alpha_v, beta_v)
+        a = alpha_v.astype(x.dtype)
+        b = beta_v.astype(x.dtype)
+        return activation1d(
+            x, lambda v: v + jnp.square(jnp.sin(v * a)) / (b + _EPS)
+        )

@@ -15,7 +15,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.activations import SnakeBeta
+from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta, SnakeBeta
 from megatts2_hierspeechpp_tpu.nn.basic import leaky_relu
 from megatts2_hierspeechpp_tpu.nn.conv import Dtype, WNConv1d, get_padding
 from megatts2_hierspeechpp_tpu.ops.resample import activation1d
@@ -95,9 +95,9 @@ class AMPBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = len(self.dilation)
         for i, d in enumerate(self.dilation):
-            a1 = SnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i}")
-            a2 = SnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i + 1}")
-            xt = activation1d(x, a1)
+            a1 = AASnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i}")
+            a2 = AASnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i + 1}")
+            xt = a1(x)
             xt = WNConv1d(
                 self.channels,
                 self.kernel_size,
@@ -106,7 +106,7 @@ class AMPBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"convs1_{i}",
             )(xt)
-            xt = activation1d(xt, a2)
+            xt = a2(xt)
             xt = WNConv1d(
                 self.channels,
                 self.kernel_size,

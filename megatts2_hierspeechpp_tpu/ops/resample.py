@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from megatts2_hierspeechpp_tpu.nn.conv import _precision_for
+
 
 def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
     """Returns (K,) float32 filter, sum-normalized."""
@@ -74,6 +76,7 @@ def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -
         lhs_dilation=(stride,),
         dimension_numbers=dn,
         feature_group_count=c,
+        precision=_precision_for(x.dtype),
     )
     y = ratio * y
     return y[:, pad_left : y.shape[1] - pad_right, :]
@@ -102,6 +105,7 @@ def lowpass1d(
         padding=[(0, 0)],
         dimension_numbers=dn,
         feature_group_count=c,
+        precision=_precision_for(x.dtype),
     )
 
 
