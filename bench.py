@@ -20,7 +20,7 @@ def main():
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
     model = HierVocoder(dtype=dtype)
 
-    b, t = 1, 500  # 10 s of audio per call at the 50 Hz frame rate
+    b, t = 4, 1000  # 80 s of audio per call: compute >> tunnel dispatch noise
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
     w2v = jnp.asarray(rng.standard_normal((b, t, 1024)), jnp.float32)
@@ -38,7 +38,7 @@ def main():
     wav = synth(params, mel, w2v, mask, f0)
     jax.block_until_ready(wav)  # compile
 
-    n_iter = 5
+    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         wav = synth(params, mel, w2v, mask, f0)

@@ -78,9 +78,13 @@ class AASnakeBeta(nn.Module):
         else:
             alpha_v, beta_v = alpha, beta
 
+        # Default: composed XLA path. Measured on v5e (BASELINE.md): the
+        # standalone Pallas kernel wins per-op, but as an opaque call boundary
+        # it blocks XLA's conv+elementwise cross-op fusion and loses ~20%
+        # end-to-end; opt in with MEGATTS_PALLAS=1.
         use_pallas = (
             jax.default_backend() == "tpu"
-            and os.environ.get("MEGATTS_NO_PALLAS", "0") != "1"
+            and os.environ.get("MEGATTS_PALLAS", "0") == "1"
         )
         if use_pallas:
             return fused_aa_snakebeta(x, alpha_v, beta_v)

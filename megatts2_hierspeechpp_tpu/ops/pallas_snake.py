@@ -30,7 +30,18 @@ import numpy as np
 from megatts2_hierspeechpp_tpu.ops.resample import kaiser_sinc_filter1d
 
 HALO = 8
-TILE_T = 512
+TILE_T = 2048
+
+
+def _pick_tile(t: int, tile_t: int) -> int:
+    """Largest divisor of t that is <= tile_t and a multiple of 8 (falls back
+    to tile_t, triggering a one-off remainder pad)."""
+    if t <= tile_t:
+        return max(8, t)
+    for cand in range(tile_t, 7, -8):
+        if t % cand == 0:
+            return cand
+    return tile_t
 
 
 @functools.lru_cache(maxsize=1)
@@ -73,11 +84,22 @@ def _polyphase_taps():
 
 
 def _kernel(x_prev, x_cur, x_next, ab_ref, o_ref, *, tile_t, n_ch):
+    from jax.experimental import pallas as pl
+
     e_taps, o_taps, ge, go = _polyphase_taps()
-    # halo from the neighbor tiles' edges
-    x = jnp.concatenate(
-        [x_prev[0, tile_t - HALO :], x_cur[0], x_next[0, :HALO]], axis=0
-    ).astype(jnp.float32)  # (tile_t + 2*HALO, C)
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    # halo from the neighbor tiles' edges; at the sequence boundary replicate
+    # the tile's own edge row (prev/next index maps are clamped)
+    left = x_prev[0, tile_t - HALO :]
+    left = jnp.where(j == 0, jnp.broadcast_to(x_cur[0, 0:1], left.shape), left)
+    right = x_next[0, :HALO]
+    right = jnp.where(
+        j == n_tiles - 1,
+        jnp.broadcast_to(x_cur[0, tile_t - 1 : tile_t], right.shape),
+        right,
+    )
+    x = jnp.concatenate([left, x_cur[0], right], axis=0).astype(jnp.float32)
     alpha = ab_ref[0:1, :]  # (1, C)
     inv_beta = ab_ref[1:2, :]
 
@@ -119,13 +141,13 @@ def fused_aa_snakebeta(
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, c = x.shape
-    tile_t = min(tile_t, max(8, t))
-    n_tiles = -(-t // tile_t)
-    t_pad = n_tiles * tile_t
-    # one edge-replicated guard tile on each side so prev/next blocks exist
-    xp = jnp.pad(
-        x, ((0, 0), (tile_t, tile_t + (t_pad - t)), (0, 0)), mode="edge"
-    )
+    tile_t = _pick_tile(t, tile_t)
+    if t % tile_t != 0:
+        # rare non-divisible case: pad once to a tile multiple
+        t_pad = (-(-t // tile_t)) * tile_t
+        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
+        return fused_aa_snakebeta(xp, alpha, beta, tile_t)[:, :t]
+    n_tiles = t // tile_t
 
     ab = jnp.stack(
         [jnp.broadcast_to(alpha, (c,)),
@@ -133,17 +155,18 @@ def fused_aa_snakebeta(
     ).astype(jnp.float32)
 
     kernel = functools.partial(_kernel, tile_t=tile_t, n_ch=c)
-    block = lambda off: pl.BlockSpec(
-        (1, tile_t, c), lambda i, j, o=off: (i, j + o, 0),
-        memory_space=pltpu.VMEM,
-    )
+    nm1 = n_tiles - 1
+    block = lambda im: pl.BlockSpec((1, tile_t, c), im, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, n_tiles),
-        in_specs=[block(0), block(1), block(2), pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (1, tile_t, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-    )(xp, xp, xp, ab)
-    return out[:, :t]
+        in_specs=[
+            block(lambda i, j: (i, jnp.maximum(j - 1, 0), 0)),
+            block(lambda i, j: (i, j, 0)),
+            block(lambda i, j: (i, jnp.minimum(j + 1, nm1), 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=block(lambda i, j: (i, j, 0)),
+    )(x, x, x, ab)
+    return out
