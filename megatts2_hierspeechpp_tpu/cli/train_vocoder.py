@@ -1,0 +1,135 @@
+"""Vocoder (HierSpeech++) GAN+VAE training CLI.
+
+The reference ships no vocoder trainer (README.md:53); this completes the
+capability. Expects sidecar features plus raw 16 kHz wavs; linear specs are
+computed on the fly.
+
+Usage: python -m megatts2_hierspeechpp_tpu.cli.train_vocoder -c configs/hierspeechpp.json -m exp_voc
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+
+import jax.numpy as jnp
+
+from megatts2_hierspeechpp_tpu.data.dataset import (
+    DatasetConfig,
+    DistributedBucketSampler,
+    SidecarDataset,
+    _sidecar,
+)
+from megatts2_hierspeechpp_tpu.models.discriminators import MultiPeriodDiscriminator
+from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+from megatts2_hierspeechpp_tpu.ops.stft import linear_spectrogram
+from megatts2_hierspeechpp_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+from megatts2_hierspeechpp_tpu.train import checkpoints as ckpt_lib, vocoder as vt
+from megatts2_hierspeechpp_tpu.train.loop import run_training
+from megatts2_hierspeechpp_tpu.train.optim import adamw
+from megatts2_hierspeechpp_tpu.utils.config import load_hparams, save_hparams
+
+
+def vocoder_batch(ds: SidecarDataset, idxs, hop=320):
+    """Collate (spec, audio, mel, w2v, f0, mask, lengths) for the vocoder."""
+    from scipy.io import wavfile
+
+    items = [ds[i] for i in idxs]
+    wavs = []
+    for i in idxs:
+        sr, data = wavfile.read(ds.items[i][0])
+        wavs.append(data.astype(np.float32) / 32768.0)
+    t_max = max(it["w2v"].shape[0] for it in items)
+    b = len(items)
+    batch = {
+        "audio": np.zeros((b, hop * t_max), np.float32),
+        "mel": np.zeros((b, t_max, 80), np.float32),
+        "w2v": np.zeros((b, t_max, 1024), np.float32),
+        "f0": np.zeros((b, 4 * t_max), np.float32),
+        "mask": np.zeros((b, t_max, 1), np.float32),
+        "lengths": np.zeros((b,), np.int32),
+    }
+    for i, (it, wav) in enumerate(zip(items, wavs)):
+        t = it["w2v"].shape[0]
+        n = min(len(wav), hop * t)
+        batch["audio"][i, :n] = wav[:n]
+        batch["mel"][i, :t] = it["mel"]
+        batch["w2v"][i, :t] = it["w2v"]
+        batch["f0"][i, : 4 * t] = it["pitch"][: 4 * t]
+        batch["mask"][i, :t] = 1.0
+        batch["lengths"][i] = t
+    spec = np.asarray(linear_spectrogram(jnp.asarray(batch["audio"])))
+    batch["spec"] = spec[:, :t_max]
+    return batch
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--logs_dir", default="logs")
+    args = p.parse_args()
+
+    hps = load_hparams(args.config)
+    model_dir = os.path.join(args.logs_dir, args.model)
+    os.makedirs(model_dir, exist_ok=True)
+    save_hparams(hps, os.path.join(model_dir, "config.json"))
+
+    init_distributed()
+    mesh = make_mesh()
+
+    ds = SidecarDataset(hps.data.get("training_files", "filelists/train_list.txt"),
+                        DatasetConfig())
+    sampler = DistributedBucketSampler(
+        ds.lengths(), hps.train.batch_size * mesh.shape["data"],
+        boundaries=[32, 300, 500, 700, 900], num_replicas=jax.process_count(),
+        rank=jax.process_index(), seed=hps.train.seed,
+    )
+
+    voc = HierVocoder(
+        spec_channels=hps.model.spec_channels,
+        inter_channels=hps.model.inter_channels,
+        hidden_channels=hps.model.hidden_channels,
+        filter_channels=hps.model.filter_channels,
+        upsample_rates=tuple(hps.model.upsample_rates),
+        upsample_initial_channel=hps.model.upsample_initial_channel,
+        upsample_kernel_sizes=tuple(hps.model.upsample_kernel_sizes),
+    )
+    disc = MultiPeriodDiscriminator()
+    tx_g = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
+                 lr_decay=hps.train.lr_decay, steps_per_epoch=1000)
+    tx_d = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
+                 lr_decay=hps.train.lr_decay, steps_per_epoch=1000)
+
+    with mesh:
+        state = vt.create_state(voc, disc, tx_g, tx_d,
+                                jax.random.PRNGKey(hps.train.seed),
+                                spec_ch=hps.model.spec_channels)
+        restored = ckpt_lib.restore(os.path.join(model_dir, "ckpt"), state)
+        if restored is not None:
+            state = restored
+        train_step = jax.jit(vt.make_train_step(
+            voc, disc, tx_g, tx_d,
+            segment_frames=hps.train.get("segment_frames", 32),
+            c_mel=hps.train.c_mel, c_kl=hps.train.get("c_kl", 1.0),
+        ))
+
+        def batches(epoch):
+            for idx in sampler.epoch_batches(epoch):
+                yield vocoder_batch(ds, idx)
+
+        run_training(
+            state, train_step, batches, model_dir,
+            epochs=hps.train.epochs, seed=hps.train.seed,
+            log_interval=hps.train.log_interval,
+            save_interval=hps.train.save_interval,
+            shard_fn=lambda b: shard_batch(mesh, b),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,7 @@ def restore(base: str, example_state: Any, step: Optional[int] = None) -> Any:
     import orbax.checkpoint as ocp
 
     step = step if step is not None else latest_step(base)
-    if step is None:
+    if step is None or not os.path.isdir(_ckpt_dir(base, step)):
         return None
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(lambda x: x, example_state)
