@@ -104,6 +104,7 @@ class TTSPipeline:
         output_sr: int = 16000,
         seed: int = 1234,
         top_k: int = 0,
+        use_plm: bool = True,
     ) -> np.ndarray:
         ids, tones, langs = text_frontend.process_text(text)
         n = len(ids)
@@ -136,11 +137,23 @@ class TTSPipeline:
             method=TTVModel.inf_extract_tc_latent,
         )
 
-        codes = plm_decode(
-            self.plm_params, x_frame,
-            n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,
-            go_id=self.plm.go_id, rng=jax.random.PRNGKey(seed), top_k=top_k,
-        )
+        if use_plm:
+            codes = plm_decode(
+                self.plm_params, x_frame,
+                n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,
+                go_id=self.plm.go_id, rng=jax.random.PRNGKey(seed), top_k=top_k,
+            )
+        else:
+            # inference.py-equivalent no-PLM path: prosody codes from the
+            # prompt's own RVQ codes, tiled to the predicted frame length
+            pc = self.ttv.apply(
+                self.ttv_vars, mel_ttv,
+                jnp.asarray([mel_ttv.shape[1]], jnp.int32),
+                method=TTVModel.prompt_codes,
+            )  # (1, T_prompt)
+            t_need = x_frame.shape[1]
+            reps = -(-t_need // pc.shape[1])
+            codes = jnp.tile(pc, (1, reps))[:, :t_need]
         w2v_pred, pred_lf0 = self.ttv.apply(
             self.ttv_vars, x_frame, g, codes[None], frame_lengths, frame_mask,
             method=TTVModel.inf_plm_gen,

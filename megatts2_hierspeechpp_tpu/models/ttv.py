@@ -387,6 +387,20 @@ class TTVModel(nn.Module):
         lr_codes = (lr_codes * mel_mask[..., 0]).astype(jnp.int32)
         return x_frame, lr_codes
 
+    def prompt_codes(self, mel, mel_lengths):
+        """Prompt-mel RVQ code ids at frame rate (the reference's no-PLM
+        inference path derives prosody from the prompt's own codes,
+        t2w2v_transformer.py infer :1042-1053)."""
+        mel_len = mel.shape[1]
+        mel_mask = feature_mask(mel_lengths, mel_len)
+        pool_len = mel_len // 8
+        mel_pool_mask = feature_mask(
+            jnp.ceil(mel_lengths / 8).astype(jnp.int32), pool_len
+        )
+        _, codes, _ = self._prosody_codes(mel, mel_mask, mel_pool_mask)
+        lr = upsample_codes(codes[0][..., None], self.stride, mel_len)[..., 0]
+        return lr.astype(jnp.int32)  # (B, mel_len)
+
     def extract_latent(self, x):
         """mel-pooled features (B, T, 20) -> RVQ codes (B, n_q, T) (:932-935)."""
         codes = self.quantizer.encode(x)
