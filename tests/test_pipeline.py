@@ -87,3 +87,10 @@ def test_vc_end_to_end(pipeline):
     trg = rng.uniform(-0.3, 0.3, 24000).astype(np.float32)
     wav = pipeline.vc(src, trg, w2v, w2v_params)
     assert wav.ndim == 1 and np.isfinite(wav).all()
+
+
+@pytest.mark.slow
+def test_tts_without_plm(pipeline):
+    prompt = (np.random.default_rng(3).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    wav = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, use_plm=False)
+    assert wav.ndim == 1 and np.isfinite(wav).all()
