@@ -32,7 +32,11 @@ def main():
                         "(torch) for mms-300m; skip w2v extraction if absent")
     p.add_argument("--skip_mel", action="store_true")
     p.add_argument("--skip_f0", action="store_true")
+    p.add_argument("--shard", default="0/1",
+                   help="i/n: process every n-th file starting at i "
+                        "(prepare_datasets/0-pipeline.py-style fan-out)")
     args = p.parse_args()
+    shard_i, shard_n = (int(v) for v in args.shard.split("/"))
 
     from megatts2_hierspeechpp_tpu.ops.f0 import yin_f0
     from megatts2_hierspeechpp_tpu.ops.stft import mel_spectrogram_fixed
@@ -48,7 +52,9 @@ def main():
         w2v_model = Wav2Vec2()
         w2v_params = convert_wav2vec2(sd)
 
-    for path in find_wavs(args.wav_dir):
+    for idx, path in enumerate(sorted(find_wavs(args.wav_dir))):
+        if idx % shard_n != shard_i:
+            continue
         sr, data = wavfile.read(path)
         if sr != 16000:
             print("skip (not 16k):", path)
