@@ -8,7 +8,6 @@ data/dataset.DistributedBucketSampler.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Sequence
 
 import numpy as np

@@ -8,10 +8,7 @@ import numpy as np
 from scipy.io import wavfile
 
 from megatts2_hierspeechpp_tpu.cli.infer_tts import load_wav_16k
-from megatts2_hierspeechpp_tpu.infer.pipeline import (
-    build_pipeline_from_reference_ckpts,
-    load_torch_checkpoint,
-)
+from megatts2_hierspeechpp_tpu.infer.pipeline import load_torch_checkpoint
 
 
 def main():

@@ -21,7 +21,6 @@ from megatts2_hierspeechpp_tpu.data.dataset import (
     DatasetConfig,
     DistributedBucketSampler,
     SidecarDataset,
-    _sidecar,
 )
 from megatts2_hierspeechpp_tpu.models.discriminators import MultiPeriodDiscriminator
 from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder

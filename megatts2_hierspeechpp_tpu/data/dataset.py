@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import os
 import random
-import re
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ real/imag as channels.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from megatts2_hierspeechpp_tpu.nn.basic import leaky_relu
-from megatts2_hierspeechpp_tpu.nn.conv import Conv2d, Dtype, WNConv2d, get_padding
+from megatts2_hierspeechpp_tpu.nn.conv import Dtype, WNConv2d, get_padding
 from megatts2_hierspeechpp_tpu.ops.stft import frame_signal, hann_window
 
 

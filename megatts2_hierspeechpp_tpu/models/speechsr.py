@@ -14,7 +14,6 @@ from flax import linen as nn
 from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta
 from megatts2_hierspeechpp_tpu.nn.conv import Conv1d, Dtype, WNConv1d
 from megatts2_hierspeechpp_tpu.nn.resblocks import AMPBlock
-from megatts2_hierspeechpp_tpu.ops.resample import activation1d
 
 
 def interp_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:

@@ -19,8 +19,6 @@ data-pipeline level) so jit caches stay small on TPU.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

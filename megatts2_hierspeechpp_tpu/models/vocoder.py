@@ -18,13 +18,13 @@ parity even though the reference ships inference only (README.md:53).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta, SnakeBeta
+from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta
 from megatts2_hierspeechpp_tpu.nn.attention import Encoder
 from megatts2_hierspeechpp_tpu.nn.basic import Dense, leaky_relu
 from megatts2_hierspeechpp_tpu.nn.conv import (
@@ -37,7 +37,6 @@ from megatts2_hierspeechpp_tpu.nn.dit import ResidualCouplingBlockTransformer
 from megatts2_hierspeechpp_tpu.nn.resblocks import AMPBlock
 from megatts2_hierspeechpp_tpu.nn.styleencoder import StyleEncoder
 from megatts2_hierspeechpp_tpu.nn.wavenet import WN
-from megatts2_hierspeechpp_tpu.ops.resample import activation1d
 
 
 class PosteriorSFEncoder(nn.Module):

@@ -10,8 +10,6 @@ Conditioning g is a per-utterance vector (B, C).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

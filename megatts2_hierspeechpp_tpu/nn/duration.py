@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from megatts2_hierspeechpp_tpu.nn.basic import Dense, LayerNorm
-from megatts2_hierspeechpp_tpu.nn.conv import Dtype, _precision_for
+from megatts2_hierspeechpp_tpu.nn.conv import Dtype
 from megatts2_hierspeechpp_tpu.nn.lstm import BiLSTM, StackedBiLSTM
 
 MASK_SCORE = -1e15

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.conv import Dtype, _precision_for
+from megatts2_hierspeechpp_tpu.nn.conv import Dtype
 
 
 def _lstm_scan(x, w_ih, w_hh, b, h0, c0):

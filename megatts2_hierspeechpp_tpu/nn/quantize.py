@@ -17,7 +17,7 @@ TPU-native differences (deliberate):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,10 +15,9 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta, SnakeBeta
+from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta
 from megatts2_hierspeechpp_tpu.nn.basic import leaky_relu
 from megatts2_hierspeechpp_tpu.nn.conv import Dtype, WNConv1d, get_padding
-from megatts2_hierspeechpp_tpu.ops.resample import activation1d
 
 
 class ResBlock1(nn.Module):

@@ -16,7 +16,6 @@ rfft; the mel projection is a single (F_bins x n_mels) matmul on the MXU.
 """
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax

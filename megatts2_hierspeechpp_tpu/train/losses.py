@@ -1,7 +1,7 @@
 """GAN + VAE losses (parity with /root/reference/losses.py)."""
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ all-reduces are inserted by GSPMD.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
