@@ -101,3 +101,28 @@ def gaussian_upsample(
         "bnt,bnh->bth", w.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST
     )
     return out
+
+
+def length_regulate(
+    x: jnp.ndarray, durations: jnp.ndarray, out_length: int
+) -> jnp.ndarray:
+    """Hard FastSpeech-style expansion (reference LengthRegulator,
+    ttv_v1/vits_models.py:45-87, python-loop there; vectorized here):
+    frame t copies phone n where cumsum(dur)[n-1] <= t < cumsum(dur)[n].
+
+    x: (B, N, H); durations: (B, N) int -> (B, out_length, H); frames beyond
+    sum(dur) are zero.
+    """
+    csum = jnp.cumsum(durations, axis=1)  # (B, N)
+    t = jnp.arange(out_length)[None, :, None]  # (1, T, 1)
+    # one-hot selection: phone n active when csum[n-1] <= t < csum[n]
+    upper = csum[:, None, :]  # (B, 1->T, N)
+    lower = jnp.concatenate(
+        [jnp.zeros_like(csum[:, :1]), csum[:, :-1]], axis=1
+    )[:, None, :]
+    sel = (t >= lower) & (t < upper)  # (B, T, N)
+    out = jnp.einsum(
+        "btn,bnh->bth", sel.astype(x.dtype), x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out

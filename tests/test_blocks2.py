@@ -190,3 +190,18 @@ def test_gaussian_upsample_matches_reference():
         jnp.asarray(x), jnp.asarray(dur), jnp.asarray(rngs), jnp.asarray(lengths), t_out
     )
     np.testing.assert_allclose(np.asarray(yj), yt, atol=3e-5, rtol=1e-4)
+
+
+def test_length_regulate_matches_repeat():
+    from megatts2_hierspeechpp_tpu.nn.duration import length_regulate
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 4, 8)).astype(np.float32)
+    dur = np.array([[2, 1, 3, 2], [1, 1, 1, 0]], np.int32)
+    out = np.asarray(length_regulate(jnp.asarray(x), jnp.asarray(dur), 10))
+    for b in range(2):
+        ref = np.concatenate(
+            [np.repeat(x[b, i : i + 1], dur[b, i], axis=0) for i in range(4)]
+        )
+        np.testing.assert_allclose(out[b, : ref.shape[0]], ref, atol=1e-6)
+        assert np.abs(out[b, ref.shape[0] :]).max() == 0
