@@ -69,6 +69,8 @@ def run_training(
     save_interval: int = 5000,
     shard_fn: Optional[Callable] = None,
     start_epoch: int = 0,
+    eval_interval: Optional[int] = None,
+    eval_fn: Optional[Callable] = None,
 ):
     """Generic loop; `batch_iter_fn(epoch)` yields collated numpy batches."""
     logger = ScalarLogger(model_dir)
@@ -92,6 +94,17 @@ def run_training(
                 log.info("epoch %d step %d %s", epoch, step, metrics)
             if step % save_interval == 0:
                 ckpt_lib.save(os.path.join(model_dir, "ckpt"), state, step)
+            if eval_fn is not None and eval_interval and step % eval_interval == 0:
+                # periodic eval hook (reference: evaluate() + TB images every
+                # eval_interval, train_ms.py:345-405); receives (state, step,
+                # model_dir) and may write plots via utils/plotting.py
+                try:
+                    eval_scalars = eval_fn(state, step, model_dir)
+                    if eval_scalars:
+                        logger.write(step, {f"eval/{k}": v
+                                            for k, v in eval_scalars.items()})
+                except Exception as e:  # eval must never kill training
+                    log.warning("eval_fn failed at step %d: %s", step, e)
         # epoch checkpoint
         ckpt_lib.save(os.path.join(model_dir, "ckpt"), state, step)
     return state
