@@ -22,7 +22,7 @@ class ARTrainState(struct.PyTreeNode):
 
 
 def create_state(model: Text2Semantic, tx, rng, nx=8, ny=16) -> ARTrainState:
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": rng},
         jnp.zeros((1, nx), jnp.int32), jnp.full((1,), nx, jnp.int32),
         jnp.zeros((1, ny), jnp.int32), jnp.full((1,), ny, jnp.int32),

@@ -9,6 +9,7 @@ by these deterministic objectives; PESQ scoring is an external metric).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -41,7 +42,7 @@ def phase_losses(pha_r: jnp.ndarray, pha_g: jnp.ndarray):
 
 
 def create_state(model: MPNet, tx, rng, t=10, f=201) -> DenoiserTrainState:
-    v = model.init(rng, jnp.zeros((1, t, f)), jnp.zeros((1, t, f)), train=True)
+    v = jax.jit(partial(model.init, train=True))(rng, jnp.zeros((1, t, f)), jnp.zeros((1, t, f)))
     return DenoiserTrainState(
         step=jnp.zeros((), jnp.int32),
         params=v["params"],

@@ -27,7 +27,7 @@ class S1TrainState(struct.PyTreeNode):
 
 def create_state(plm: ProsodyLM, tx, rng, ttv_vars, example_latent_dim=256,
                  t=16) -> S1TrainState:
-    params = plm.init(
+    params = jax.jit(plm.init)(
         {"params": rng},
         jnp.zeros((1, t, example_latent_dim)),
         jnp.zeros((1, t), jnp.int32),

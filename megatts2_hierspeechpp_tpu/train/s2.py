@@ -39,7 +39,8 @@ class S2TrainState(struct.PyTreeNode):
 
 def create_state(ttv: TTVModel, disc: MultiResSpecDiscriminator, tx_g, tx_d,
                  rng, example_batch) -> S2TrainState:
-    g_vars = ttv.init(
+    # jit the inits: eager per-op dispatch is pathological on remote backends
+    g_vars = jax.jit(ttv.init)(
         {"params": rng, "dropout": rng},
         example_batch["x_ids"], example_batch["tone"], example_batch["language"],
         example_batch["x_lengths"], example_batch["w2v"],
@@ -48,8 +49,8 @@ def create_state(ttv: TTVModel, disc: MultiResSpecDiscriminator, tx_g, tx_d,
         example_batch["pitch_lengths"], example_batch["dur"],
         example_batch["mrte_mel"], example_batch["mrte_mel_lengths"],
     )
-    w2v_t = jnp.swapaxes(example_batch["w2v"], 1, 2)
-    d_vars = disc.init(rng, w2v_t, w2v_t)
+    w2v_t = jnp.swapaxes(jnp.asarray(example_batch["w2v"]), 1, 2)
+    d_vars = jax.jit(disc.init)(rng, w2v_t, w2v_t)
     return S2TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=g_vars["params"],

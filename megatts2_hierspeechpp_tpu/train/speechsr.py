@@ -32,8 +32,8 @@ class SRTrainState(struct.PyTreeNode):
 def create_state(gen: SpeechSR, disc: MultiPeriodDiscriminator, tx_g, tx_d, rng,
                  seg_in: int = 3200) -> SRTrainState:
     seg_out = seg_in * gen.rate_num // gen.rate_den
-    gv = gen.init(rng, jnp.zeros((1, seg_in, 1)))
-    dv = disc.init(rng, jnp.zeros((1, seg_out, 1)), jnp.zeros((1, seg_out, 1)))
+    gv = jax.jit(gen.init)(rng, jnp.zeros((1, seg_in, 1)))
+    dv = jax.jit(disc.init)(rng, jnp.zeros((1, seg_out, 1)), jnp.zeros((1, seg_out, 1)))
     return SRTrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=gv["params"], opt_g=tx_g.init(gv["params"]),

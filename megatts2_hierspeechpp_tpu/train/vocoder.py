@@ -16,6 +16,7 @@ standard hierarchical-VAE + GAN objective (HierSpeech++ / VITS family):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -54,15 +55,14 @@ def slice_frames(x, starts, segment):
 
 def create_state(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d,
                  rng, spec_ch=641, t=16) -> VocTrainState:
-    gv = voc.init(
+    gv = jax.jit(partial(voc.init, method=HierVocoder.init_all))(
         rng,
         jnp.zeros((1, t, spec_ch)), jnp.zeros((1, 320 * t, 1)),
         jnp.zeros((1, t, 80)), jnp.zeros((1, t, 1024)),
         jnp.zeros((1, 4 * t, 1)), jnp.ones((1, t, 1)),
         {"z_q": rng, "z_p": rng, "z_l": rng},
-        method=HierVocoder.init_all,
     )
-    dv = disc.init(rng, jnp.zeros((1, 320 * 8, 1)), jnp.zeros((1, 320 * 8, 1)))
+    dv = jax.jit(disc.init)(rng, jnp.zeros((1, 320 * 8, 1)), jnp.zeros((1, 320 * 8, 1)))
     return VocTrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=gv["params"], opt_g=tx_g.init(gv["params"]),
