@@ -24,6 +24,9 @@ from megatts2_hierspeechpp_tpu.train.loop import run_training
 
 def main():
     logging.basicConfig(level=logging.INFO)
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--phoneme_path", required=True)
     p.add_argument("--semantic_path", required=True)

@@ -54,6 +54,9 @@ def load_s2_vars(s2_ckpt: str, ttv: TTVModel, example_batch):
 
 def main():
     logging.basicConfig(level=logging.INFO)
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-m", "--model", required=True)
@@ -98,12 +101,15 @@ def main():
             for idx in sampler.epoch_batches(epoch):
                 yield collate([ds[i] for i in idx])
 
+        steps_done = int(np.asarray(state.step))
+        per_epoch = max(len(sampler.epoch_batches(0)), 1)
         run_training(
             state, train_step, batches, model_dir,
             epochs=hps.train.epochs, seed=hps.train.seed,
             log_interval=hps.train.log_interval,
             save_interval=hps.train.save_interval,
             shard_fn=lambda b: shard_batch(mesh, b),
+            start_epoch=steps_done // per_epoch,
         )
 
 

@@ -67,6 +67,9 @@ def vocoder_batch(ds: SidecarDataset, idxs, hop=320):
 
 def main():
     logging.basicConfig(level=logging.INFO)
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-m", "--model", required=True)
