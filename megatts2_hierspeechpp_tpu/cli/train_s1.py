@@ -29,7 +29,7 @@ from megatts2_hierspeechpp_tpu.train.s1 import create_state, make_train_step
 from megatts2_hierspeechpp_tpu.utils.config import load_hparams, save_hparams
 
 
-def load_s2_vars(s2_ckpt: str, ttv: TTVModel, example_batch):
+def load_s2_vars(s2_ckpt: str, ttv: TTVModel, example_batch, hps):
     """Restore frozen s2 variables from an s2 training checkpoint dir or a
     converted reference .pth."""
     if s2_ckpt.endswith(".pth"):
@@ -43,7 +43,10 @@ def load_s2_vars(s2_ckpt: str, ttv: TTVModel, example_batch):
     from megatts2_hierspeechpp_tpu.train.optim import adamw as _adamw
     from megatts2_hierspeechpp_tpu.train.s2 import create_state as s2_state
 
-    tx = _adamw(1e-4)
+    # the example optimizer must have the SAME optax state structure the s2
+    # trainer used (schedule vs constant lr differ), else orbax rejects it
+    tx = _adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
+                lr_decay=hps.train.lr_decay, steps_per_epoch=1000)
     st = s2_state(ttv, MultiResSpecDiscriminator(), tx, tx,
                   jax.random.PRNGKey(0), example_batch)
     restored = ckpt_lib.restore(s2_ckpt, st)
@@ -84,7 +87,7 @@ def main():
                    n_language=text_frontend.N_LANGUAGE)
     plm = ProsodyLM()
     first = collate([ds[i] for i in sampler.epoch_batches(0)[0]])
-    ttv_vars = load_s2_vars(args.s2_ckpt, ttv, first)
+    ttv_vars = load_s2_vars(args.s2_ckpt, ttv, first, hps)
 
     tx = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
                lr_decay=hps.train.lr_decay, steps_per_epoch=1000)
