@@ -25,7 +25,7 @@ def main():
     args = p.parse_args()
 
     from megatts2_hierspeechpp_tpu.data import text as tf
-    from megatts2_hierspeechpp_tpu.models.ttv import TTVModel, max_pool8
+    from megatts2_hierspeechpp_tpu.models.ttv import TTVModel
 
     ttv = TTVModel(n_vocab=tf.N_VOCAB, n_tone=tf.N_TONE, n_language=tf.N_LANGUAGE)
     if args.s2_ckpt.endswith(".pth"):
@@ -38,14 +38,10 @@ def main():
 
     @jax.jit
     def extract(mel):
-        # mel: (1, T, 80); reproduce the prosody path then encode
-        mask = jnp.ones((1, mel.shape[1], 1), jnp.float32)
-        pool_mask = jnp.ones((1, mel.shape[1] // 8, 1), jnp.float32)
-        m = mel[..., :20]
-        m = ttv.apply(variables, m, mask, method=lambda s, a, b: s.plm_conv1(a, b))
-        m = max_pool8(m)
-        m = ttv.apply(variables, m, pool_mask, method=lambda s, a, b: s.plm_conv2(a, b))
-        return ttv.apply(variables, m, method=TTVModel.extract_latent)
+        # mel: (1, T, 80) -> pooled-rate RVQ code ids
+        lengths = jnp.full((1,), mel.shape[1], jnp.int32)
+        return ttv.apply(variables, mel, lengths,
+                         method=TTVModel.pooled_prosody_codes)
 
     rows = []
     for base, _dirs, files in os.walk(args.mel_dir):
@@ -58,7 +54,7 @@ def main():
             if mel.shape[0] == 80:
                 mel = mel.T
             t8 = (mel.shape[0] // 8) * 8
-            codes = np.asarray(extract(jnp.asarray(mel[None, :t8])))[0, 0]
+            codes = np.asarray(extract(jnp.asarray(mel[None, :t8])))[0]
             np.save(out_path, codes.astype(np.int32))
             rows.append((os.path.splitext(f)[0].replace(".hmel", ""),
                          " ".join(map(str, codes.tolist()))))

@@ -385,6 +385,18 @@ class TTVModel(nn.Module):
         lr_codes = (lr_codes * mel_mask[..., 0]).astype(jnp.int32)
         return x_frame, lr_codes
 
+    def pooled_prosody_codes(self, mel, mel_lengths):
+        """mel (B, T, 80) -> RVQ code ids at the pooled (T/8) rate — the
+        3-get-semantic-s.py extraction contract (:76-99)."""
+        mel_len = mel.shape[1]
+        mel_mask = feature_mask(mel_lengths, mel_len)
+        pool_len = mel_len // 8
+        mel_pool_mask = feature_mask(
+            jnp.ceil(mel_lengths / 8).astype(jnp.int32), pool_len
+        )
+        _, codes, _ = self._prosody_codes(mel, mel_mask, mel_pool_mask)
+        return codes[0].astype(jnp.int32)  # (B, T/8)
+
     def prompt_codes(self, mel, mel_lengths):
         """Prompt-mel RVQ code ids at frame rate (the reference's no-PLM
         inference path derives prosody from the prompt's own codes,
