@@ -159,3 +159,15 @@ def test_ttv_extract_tc_latent_code_parity(models):
         np.asarray(x_frame_j), x_frame_t.transpose(1, 2).numpy(), atol=2e-3
     )
     np.testing.assert_array_equal(np.asarray(lr_codes_j), lr_codes_t.numpy())
+
+
+def test_prompt_codes_are_pooled_codes_upsampled(models):
+    _, jmod, variables = models
+    d = _data(2)
+    mel = jnp.asarray(d["mel"])
+    lens = jnp.asarray(d["mel_lengths"])
+    pooled = jmod.apply(variables, mel, lens, method=TTVModel.pooled_prosody_codes)
+    frame = jmod.apply(variables, mel, lens, method=TTVModel.prompt_codes)
+    np.testing.assert_array_equal(
+        np.asarray(frame), np.repeat(np.asarray(pooled), 8, axis=1)[:, : mel.shape[1]]
+    )
