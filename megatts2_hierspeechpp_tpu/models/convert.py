@@ -474,3 +474,14 @@ def convert_t2s(sd, n_layers: int = 12) -> dict:
     for i in range(n_layers):
         params[f"layer_{i}"] = t2s_layer(sd, f"h.layers.{i}")
     return params
+
+
+def convert_plm_noncausal(sd, n_layers: int = 4) -> dict:
+    """Reference Megatts2PLM (variant A: rel-pos attentions.Encoder) ->
+    ProsodyLMNonCausal params."""
+    return {
+        "pc_embedding": cr.embedding(sd, "pc_embedding"),
+        "pos_alpha": cr._np(sd, "pos_emb.alpha"),
+        "predict_layer": cr.dense(sd, "predict_layer"),
+        "plm": cr.vits_encoder(sd, "plm", n_layers),
+    }

@@ -58,6 +58,31 @@ def prefetch(iterable: Iterable, size: int = 2):
         yield item
 
 
+def _stamp_git_provenance(model_dir: str) -> None:
+    """Record the framework git hash into the run dir (reference
+    utils.check_git_hash provenance stamp, utils.py:219-236)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        h = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return
+    if not h:
+        return
+    path = os.path.join(model_dir, "githash")
+    prev = open(path).read().strip() if os.path.exists(path) else None
+    if prev and prev != h:
+        log.warning("git hash changed since this run dir was created: %s -> %s",
+                    prev[:8], h[:8])
+    os.makedirs(model_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(h + "\n")
+
+
 def run_training(
     state,
     train_step: Callable,
@@ -74,6 +99,7 @@ def run_training(
 ):
     """Generic loop; `batch_iter_fn(epoch)` yields collated numpy batches."""
     logger = ScalarLogger(model_dir)
+    _stamp_git_provenance(model_dir)
     rng = jax.random.PRNGKey(seed)
     step = int(np.asarray(state.step))
     t_last = time.time()

@@ -79,3 +79,36 @@ def test_topk_sampling_decodes_valid_codes(models):
     )
     assert codes.shape == (b, t)
     assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 1024).all()
+
+
+def test_noncausal_plm_variant_matches_reference():
+    """Variant A (Megatts2PLM): rel-pos Encoder over the concat input."""
+    from ttv_v1.t2w2v_transformer import Megatts2PLM
+    from megatts2_hierspeechpp_tpu.models.plm import ProsodyLMNonCausal
+    from megatts2_hierspeechpp_tpu.models.convert import convert_plm_noncausal
+
+    torch.manual_seed(5)
+    tmod = Megatts2PLM(n_layers=2, n_heads=4, vq_dim=20, tc_latent_dim=44,
+                       vq_bins=1024, kernel_size=9, dropout=0.0).eval()
+    jmod = ProsodyLMNonCausal(n_layers=2, n_heads=4, vq_dim=20, tc_latent_dim=44,
+                              vq_bins=1024, kernel_size=9, p_dropout=0.0)
+
+    b, t = 2, 12
+    rng = np.random.default_rng(5)
+    tc = rng.standard_normal((b, t, 44)).astype(np.float32)
+    codes = rng.integers(0, 1024, (b, t))
+    lens = np.array([12, 12], np.int64)
+
+    with torch.no_grad():
+        logits_t, _targets, loss_t, _loss_log, _acc = tmod(
+            torch.from_numpy(tc.transpose(0, 2, 1)),
+            torch.from_numpy(codes),
+            torch.from_numpy(lens),
+        )
+
+    params = {"params": convert_plm_noncausal(tmod.state_dict(), n_layers=2)}
+    out = jmod.apply(params, jnp.asarray(tc), jnp.asarray(codes), jnp.asarray(lens))
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), logits_t.transpose(1, 2).numpy(), atol=5e-4
+    )
+    np.testing.assert_allclose(float(out["loss"]), float(loss_t), rtol=1e-4)
