@@ -1,0 +1,37 @@
+"""Eval/observability utility tests."""
+import numpy as np
+
+from megatts2_hierspeechpp_tpu.eval.compare import mel_l1, waveform_metrics
+from megatts2_hierspeechpp_tpu.utils.profiling import Throughput
+
+
+def test_waveform_metrics_identical_and_noisy():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    m = waveform_metrics(a, a)
+    assert m["max_abs_diff"] == 0
+    assert m["corr"] > 0.999999
+    assert m["snr_db"] > 100
+
+    noisy = a + 0.01 * rng.standard_normal(16000).astype(np.float32)
+    m2 = waveform_metrics(a, noisy)
+    assert 20 < m2["snr_db"] < 40
+    assert m2["corr"] > 0.99
+
+
+def test_mel_l1_scale():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    assert mel_l1(a, a) < 1e-6
+    b = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    assert mel_l1(a, b) > 0.1
+
+
+def test_throughput_counters():
+    t = Throughput()
+    t.add(audio_seconds=10.0, tokens=500)
+    t.add(audio_seconds=10.0, tokens=500)
+    r = t.report()
+    assert r["audio_seconds_per_sec"] > 0
+    assert r["tokens_per_sec"] > 0
+    assert r["steps_per_sec"] > 0
