@@ -63,7 +63,13 @@ def main():
     p.add_argument("--length_scale", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch N texts per device call (16 kHz output only)")
     args = p.parse_args()
+
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
 
     pipe = build_pipeline_from_reference_ckpts(
         args.ckpt_ttv, args.ckpt_plm, args.ckpt_voc,
@@ -71,25 +77,33 @@ def main():
         speechsr_rate=args.output_sr if args.output_sr != 16000 else 48000,
     )
     prompt = load_wav_16k(args.input_prompt)
+    # prompt features (mel + optional denoise) computed once, shared by requests
+    feats = pipe.prepare_prompt(prompt, args.denoise_ratio)
 
     with open(args.input_txt, encoding="utf-8") as f:
         lines = [l.strip() for l in f if l.strip()]
 
     os.makedirs(args.output_dir, exist_ok=True)
-    for i, text in enumerate(lines):
-        wav = pipe.tts(
-            text, prompt,
-            denoise_ratio=args.denoise_ratio,
-            noise_scale_vc=args.noise_scale_vc,
-            length_scale=args.length_scale,
-            output_sr=args.output_sr,
-            seed=args.seed,
-            top_k=args.top_k,
-        )
-        out = (wav * 32767.0).astype(np.int16)
-        path = os.path.join(args.output_dir, f"{i:03d}.wav")
-        wavfile.write(path, args.output_sr, out)
-        print(path)
+    kw = dict(
+        denoise_ratio=args.denoise_ratio, noise_scale_vc=args.noise_scale_vc,
+        length_scale=args.length_scale, seed=args.seed, top_k=args.top_k,
+    )
+    if args.batch > 1 and args.output_sr == 16000:
+        for i0 in range(0, len(lines), args.batch):
+            chunk = lines[i0 : i0 + args.batch]
+            wavs = pipe.tts_batch(chunk, prompt=feats, **kw)
+            for j, wav in enumerate(wavs):
+                out = (wav * 32767.0).astype(np.int16)
+                path = os.path.join(args.output_dir, f"{i0 + j:03d}.wav")
+                wavfile.write(path, args.output_sr, out)
+                print(path)
+    else:
+        for i, text in enumerate(lines):
+            wav = pipe.tts(text, prompt=feats, output_sr=args.output_sr, **kw)
+            out = (wav * 32767.0).astype(np.int16)
+            path = os.path.join(args.output_dir, f"{i:03d}.wav")
+            wavfile.write(path, args.output_sr, out)
+            print(path)
 
 
 if __name__ == "__main__":

@@ -2,11 +2,29 @@
 
 Equivalents of the reference CLIs (/root/reference/inference_plm.py:103-201
 tts(), inference_vc.py:70-172 VC(), inference_speechsr.py), re-composed as
-jit-compiled stages with length bucketing:
+jit-compiled stages with length bucketing.
 
-  text -> frontend -> TTV latent (inf_extract_tc_latent) -> PLM KV-cached
-  decode -> (w2v, f0) -> vocoder voice_conversion(+noise control/denoise
-  interpolation) -> 16 kHz wav -> SpeechSR 24k/48k.
+Serving design (TPU): the hot path is THREE device dispatches per utterance —
+
+  [mel front-end jit] -> [acoustic jit: TTV latent -> PLM KV-cached decode ->
+  w2v/f0 generation -> pitch clip] -> [vocoder VC jit (+SpeechSR jit)]
+
+Each stage is a `jax.jit` whose executable is cached per shape bucket (text
+length, prompt length and frame budget are padded onto coarse grids), so
+repeated calls re-use compiled programs; with the persistent compilation cache
+(utils/runtime.enable_compile_cache) executables survive process restarts.
+Scalars that vary per request (length_scale, noise_scale, denoise_ratio, PRNG
+seed) are traced arguments, NOT static — changing them never recompiles.
+
+The single host sync per call is reading `frame_lengths` after the acoustic
+stage, which is required to pick the vocoder's frame bucket; everything else
+stays on device.
+
+`exact=True` disables bucketing and runs the acoustic stage twice (first to
+measure the predicted length, then at exactly that length) so there are zero
+padded frames anywhere — this reproduces the reference composition
+numerically (used by the composed-pipeline parity oracle,
+tests/test_pipeline_parity.py).
 
 Reference checkpoints load through models/convert (torch .pth dicts,
 {model, iteration, ...}, utils.py:19-57).
@@ -15,6 +33,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -50,6 +69,22 @@ def _bucket(n: int, sizes=(200, 400, 600, 800, 1200, 1600, 2000)) -> int:
     return ((n + 399) // 400) * 400
 
 
+def _bucket_text(n: int, sizes=(16, 32, 64, 96, 128, 192, 256, 384, 512)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return ((n + 63) // 64) * 64
+
+
+@dataclass
+class PromptFeatures:
+    """Per-prompt device features, computed once and reused across requests."""
+
+    mel_ttv: jnp.ndarray   # (1, T_pad, 80) mel of the 1600-padded prompt
+    mel_pair: jnp.ndarray  # (2, T, 80) mel of [orig; denoised] at true length
+    t_samples: int
+
+
 @dataclass
 class TTSPipeline:
     """Holds all model defs + params; stages are jitted per shape bucket."""
@@ -67,49 +102,115 @@ class TTSPipeline:
     denoiser_cfg: Dict = field(
         default_factory=lambda: dict(n_fft=400, hop=100, win=400, compress=0.3)
     )
+    _jits: Dict = field(default_factory=dict, repr=False, compare=False)
+
+    # ---------- jitted stage builders (one executable per shape bucket) ----------
+
+    def _stage(self, name: str):
+        """Lazily build + memoize the jitted stage function `name`."""
+        fn = self._jits.get(name)
+        if fn is not None:
+            return fn
+        if name == "mel":
+            fn = jax.jit(jstft.mel_spectrogram_fixed)
+        elif name == "denoise":
+            cfg = self.denoiser_cfg
+
+            def _denoise(dvars, wav):  # wav: (1, T), T a 1600-multiple
+                norm = jnp.sqrt(wav.shape[-1] / jnp.sum(wav**2))
+                wavn = wav * norm
+                mag, pha = jstft.mag_pha_stft(
+                    wavn, cfg["n_fft"], cfg["hop"], cfg["win"], cfg["compress"]
+                )
+                mag_g, pha_g = self.denoiser.apply(dvars, mag, pha)
+                mag_g = mag_g ** (1.0 / cfg["compress"])
+                spec = mag_g * jnp.exp(1j * pha_g)
+                out = jstft.istft(spec, cfg["n_fft"], cfg["hop"], cfg["win"],
+                                  length=wav.shape[-1])
+                return out / norm
+
+            fn = jax.jit(_denoise)
+        elif name == "acoustic":
+            def _acoustic(ttv_vars, plm_params, x_ids, tone, lang, x_len,
+                          mel_ttv, mel_len, length_scale, rng,
+                          out_budget, top_k, use_plm):
+                x_frame, g, frame_lengths, frame_mask = self.ttv.apply(
+                    ttv_vars, x_ids, tone, lang, x_len, mel_ttv, mel_len,
+                    out_budget, length_scale=length_scale,
+                    method=TTVModel.inf_extract_tc_latent,
+                )
+                if use_plm:
+                    codes = plm_decode(
+                        plm_params, x_frame,
+                        n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,
+                        go_id=self.plm.go_id, rng=rng, top_k=top_k,
+                    )
+                else:
+                    # inference.py-equivalent no-PLM path: prosody codes from
+                    # the prompt's own RVQ codes, tiled to the frame budget
+                    pc = self.ttv.apply(
+                        ttv_vars, mel_ttv, mel_len, method=TTVModel.prompt_codes
+                    )  # (1, T_prompt)
+                    t_need = x_frame.shape[1]
+                    reps = -(-t_need // pc.shape[1])
+                    codes = jnp.tile(pc, (1, reps))[:, :t_need]
+                w2v_pred, pred_lf0 = self.ttv.apply(
+                    ttv_vars, x_frame, g, codes[None], frame_lengths, frame_mask,
+                    method=TTVModel.inf_plm_gen,
+                )
+                # pitch clipping: below log(55) -> 0 (inference_plm.py:169)
+                pred_lf0 = jnp.where(pred_lf0 < math.log(55.0), 0.0, pred_lf0)
+                return w2v_pred, pred_lf0, frame_lengths, frame_mask
+
+            fn = jax.jit(_acoustic,
+                         static_argnames=("out_budget", "top_k", "use_plm"))
+        elif name == "vocode":
+            def _vocode(voc_params, w2v, mask, mel_pair, f0, noise_scale, rng,
+                        denoise_ratio):
+                trg_mask = jnp.ones(
+                    (mel_pair.shape[0], mel_pair.shape[1], 1), jnp.float32
+                )
+                return self.vocoder.apply(
+                    voc_params, w2v, mask, mel_pair, trg_mask, f0,
+                    noise_scale, rng, denoise_ratio,
+                    method=HierVocoder.voice_conversion,
+                )
+
+            # w2v/f0 are per-request intermediates: donate their buffers
+            fn = jax.jit(_vocode, donate_argnums=(1, 4))
+        elif name == "sr":
+            def _sr(sr_params, wav):  # wav: (B, T, 1)
+                return self.speechsr.apply({"params": sr_params}, wav)
+
+            fn = jax.jit(_sr, donate_argnums=(1,))
+        else:  # pragma: no cover
+            raise KeyError(name)
+        self._jits[name] = fn
+        return fn
+
+    def jit_stats(self) -> Dict[str, int]:
+        """Compiled-executable count per stage (tests assert one per bucket)."""
+        return {k: v._cache_size() for k, v in self._jits.items()}
 
     # ---------- feature front-ends ----------
 
     def prompt_mel(self, audio: np.ndarray) -> jnp.ndarray:
         """audio: (T,) float in [-1, 1] at 16 kHz -> (1, frames, 80)."""
-        return jstft.mel_spectrogram_fixed(jnp.asarray(audio)[None])
+        return self._stage("mel")(jnp.asarray(audio)[None])
 
     def denoise(self, audio: np.ndarray) -> np.ndarray:
         """MP-SENet denoising (denoiser/infer.py:4-11)."""
         assert self.denoiser is not None
-        cfg = self.denoiser_cfg
-        wav = jnp.asarray(audio)[None]
-        norm = jnp.sqrt(wav.shape[-1] / jnp.sum(wav**2))
-        wavn = wav * norm
-        mag, pha = jstft.mag_pha_stft(
-            wavn, cfg["n_fft"], cfg["hop"], cfg["win"], cfg["compress"]
-        )
-        mag_g, pha_g = self.denoiser.apply(self.denoiser_vars, mag, pha)
-        mag_g = mag_g ** (1.0 / cfg["compress"])
-        spec = mag_g * jnp.exp(1j * pha_g)
-        out = jstft.istft(spec, cfg["n_fft"], cfg["hop"], cfg["win"],
-                          length=wav.shape[-1])
-        return np.asarray(out / norm)[0]
+        out = self._stage("denoise")(self.denoiser_vars, jnp.asarray(audio)[None])
+        return np.asarray(out)[0]
 
-    # ---------- main pipelines ----------
-
-    def tts(
-        self,
-        text: str,
-        prompt_audio: np.ndarray,
-        denoise_ratio: float = 0.0,
-        noise_scale_vc: float = 0.333,
-        length_scale: float = 1.0,
-        output_sr: int = 16000,
-        seed: int = 1234,
-        top_k: int = 0,
-        use_plm: bool = True,
-    ) -> np.ndarray:
-        ids, tones, langs = text_frontend.process_text(text)
-        n = len(ids)
-
-        # prompt prep: pad to a 1600 multiple for the mel/denoiser hops,
-        # optional denoise, then stack [orig; denoised] for style interpolation
+    def prepare_prompt(
+        self, prompt_audio: np.ndarray, denoise_ratio: float = 0.0
+    ) -> PromptFeatures:
+        """Prompt prep (inference_plm.py:131-156): pad to a 1600 multiple for
+        the mel/denoiser hops, mel for TTV on the padded audio, optional
+        denoise, then mel of [orig; denoised] (padding stripped) for style
+        interpolation. Compute once per prompt and reuse across requests."""
         t_a = len(prompt_audio)
         pad = (t_a // 1600 + 1) * 1600 - t_a
         padded = np.pad(prompt_audio, (0, pad))
@@ -120,70 +221,136 @@ class TTSPipeline:
         else:
             den = prompt_audio
         pair = np.stack([prompt_audio, den[:t_a]], axis=0)
-        mel_pair = jstft.mel_spectrogram_fixed(jnp.asarray(pair))
+        mel_pair = self._stage("mel")(jnp.asarray(pair))
+        return PromptFeatures(mel_ttv=mel_ttv, mel_pair=mel_pair, t_samples=t_a)
 
-        # TTV latent with predicted durations (bucketed frame budget)
-        x_ids = jnp.asarray(np.asarray(ids, np.int32))[None]
-        tone = jnp.asarray(np.asarray(tones, np.int32))[None]
-        lang = jnp.asarray(np.asarray(langs, np.int32))[None]
+    # ---------- main pipelines ----------
+
+    def tts(
+        self,
+        text: str,
+        prompt_audio: Optional[np.ndarray] = None,
+        denoise_ratio: float = 0.0,
+        noise_scale_vc: float = 0.333,
+        length_scale: float = 1.0,
+        output_sr: int = 16000,
+        seed: int = 1234,
+        top_k: int = 0,
+        use_plm: bool = True,
+        prompt: Optional[PromptFeatures] = None,
+        exact: bool = False,
+    ) -> np.ndarray:
+        if prompt is None:
+            assert prompt_audio is not None, "need prompt_audio or prompt features"
+            prompt = self.prepare_prompt(prompt_audio, denoise_ratio)
+
+        ids, tones, langs = text_frontend.process_text(text)
+        n = len(ids)
+        n_pad = n if exact else _bucket_text(n)
+        x_ids = np.zeros((1, n_pad), np.int32)
+        tone = np.zeros((1, n_pad), np.int32)
+        lang = np.zeros((1, n_pad), np.int32)
+        x_ids[0, :n], tone[0, :n], lang[0, :n] = ids, tones, langs
         x_len = jnp.asarray([n], jnp.int32)
-        mel_len = jnp.asarray([mel_ttv.shape[1]], jnp.int32)
+        mel_len = jnp.asarray([prompt.mel_ttv.shape[1]], jnp.int32)
         out_budget = _bucket(int(n * 40 * length_scale))  # ~20 frames/phone cap
 
-        x_frame, g, frame_lengths, frame_mask = self.ttv.apply(
-            self.ttv_vars, x_ids, tone, lang, x_len, mel_ttv, mel_len,
-            out_budget, length_scale=length_scale,
-            method=TTVModel.inf_extract_tc_latent,
+        acoustic = self._stage("acoustic")
+        args = (self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
+                jnp.asarray(tone), jnp.asarray(lang), x_len,
+                prompt.mel_ttv, mel_len,
+                jnp.float32(length_scale), jax.random.PRNGKey(seed))
+        w2v_pred, pred_lf0, frame_lengths, frame_mask = acoustic(
+            *args, out_budget=out_budget, top_k=top_k, use_plm=use_plm
         )
-
-        if use_plm:
-            codes = plm_decode(
-                self.plm_params, x_frame,
-                n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,
-                go_id=self.plm.go_id, rng=jax.random.PRNGKey(seed), top_k=top_k,
+        t_frames = int(jax.device_get(frame_lengths)[0])
+        if exact:
+            # re-run at exactly the predicted length: zero padded frames ->
+            # numerically identical to the reference's dynamic-shape tts()
+            w2v_pred, pred_lf0, frame_lengths, frame_mask = acoustic(
+                *args, out_budget=2 * t_frames, top_k=top_k, use_plm=use_plm
             )
+            t_voc = t_frames
         else:
-            # inference.py-equivalent no-PLM path: prosody codes from the
-            # prompt's own RVQ codes, tiled to the predicted frame length
-            pc = self.ttv.apply(
-                self.ttv_vars, mel_ttv,
-                jnp.asarray([mel_ttv.shape[1]], jnp.int32),
-                method=TTVModel.prompt_codes,
-            )  # (1, T_prompt)
-            t_need = x_frame.shape[1]
-            reps = -(-t_need // pc.shape[1])
-            codes = jnp.tile(pc, (1, reps))[:, :t_need]
-        w2v_pred, pred_lf0 = self.ttv.apply(
-            self.ttv_vars, x_frame, g, codes[None], frame_lengths, frame_mask,
-            method=TTVModel.inf_plm_gen,
-        )
+            t_voc = _bucket(t_frames)
 
-        # pitch clipping: anything below log(55) -> 0 (inference_plm.py:169)
-        pred_lf0 = jnp.where(pred_lf0 < math.log(55.0), 0.0, pred_lf0)
-
-        t_frames = int(frame_lengths[0])
-        wav = self.vocoder.apply(
+        wav = self._stage("vocode")(
             self.vocoder_params,
-            w2v_pred[:, :_bucket(t_frames)],
-            frame_mask[:, :_bucket(t_frames)],
-            mel_pair,
-            jnp.ones((mel_pair.shape[0], mel_pair.shape[1], 1), jnp.float32),
-            pred_lf0[:, : 4 * _bucket(t_frames), None],
-            noise_scale_vc,
+            w2v_pred[:, :t_voc],
+            frame_mask[:, :t_voc],
+            prompt.mel_pair,
+            pred_lf0[:, : 4 * t_voc, None],
+            jnp.float32(noise_scale_vc),
             jax.random.PRNGKey(seed + 1),
-            denoise_ratio,
-            method=HierVocoder.voice_conversion,
+            jnp.float32(denoise_ratio),
         )
-        wav = np.asarray(wav)[0, : 320 * t_frames, 0]
 
         if output_sr in (24000, 48000) and self.speechsr is not None:
-            up = self.speechsr.apply(
-                {"params": self.speechsr_params}, jnp.asarray(wav)[None, :, None]
-            )
-            wav = np.asarray(up)[0, :, 0]
+            up = self._stage("sr")(self.speechsr_params, wav)
+            ratio = output_sr // 16000 if output_sr == 48000 else 1.5
+            wav = np.asarray(up)[0, : int(320 * t_frames * ratio), 0]
+        else:
+            wav = np.asarray(wav)[0, : 320 * t_frames, 0]
 
         peak = np.abs(wav).max()
         return (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
+
+    def tts_batch(
+        self,
+        texts: list,
+        prompt_audio: Optional[np.ndarray] = None,
+        prompt: Optional[PromptFeatures] = None,
+        **kw,
+    ) -> list:
+        """Batched request path: pad all texts to one bucket, run the acoustic
+        and vocoder stages at B=len(texts), slice per-utterance wavs. One
+        prompt shared across the batch (the zero-shot serving shape)."""
+        if prompt is None:
+            assert prompt_audio is not None
+            prompt = self.prepare_prompt(prompt_audio, kw.get("denoise_ratio", 0.0))
+        b = len(texts)
+        seqs = [text_frontend.process_text(t) for t in texts]
+        n_max = max(len(s[0]) for s in seqs)
+        n_pad = _bucket_text(n_max)
+        x_ids = np.zeros((b, n_pad), np.int32)
+        tone = np.zeros((b, n_pad), np.int32)
+        lang = np.zeros((b, n_pad), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, (ids, tn, lg) in enumerate(seqs):
+            n = len(ids)
+            x_ids[i, :n], tone[i, :n], lang[i, :n], lens[i] = ids, tn, lg, n
+        length_scale = kw.get("length_scale", 1.0)
+        seed = kw.get("seed", 1234)
+        out_budget = _bucket(int(n_max * 40 * length_scale))
+
+        mel_ttv = jnp.tile(prompt.mel_ttv, (b, 1, 1))
+        mel_len = jnp.full((b,), prompt.mel_ttv.shape[1], jnp.int32)
+        w2v_pred, pred_lf0, frame_lengths, frame_mask = self._stage("acoustic")(
+            self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
+            jnp.asarray(tone), jnp.asarray(lang), jnp.asarray(lens),
+            mel_ttv, mel_len, jnp.float32(length_scale),
+            jax.random.PRNGKey(seed),
+            out_budget=out_budget, top_k=kw.get("top_k", 0),
+            use_plm=kw.get("use_plm", True),
+        )
+        t_frames = np.asarray(jax.device_get(frame_lengths))
+        t_voc = _bucket(int(t_frames.max()))
+        # one shared prompt: the 2-row [orig; denoised] mel pair yields a
+        # (1, C) style vector that broadcasts over the batch inside the vocoder
+        wav = self._stage("vocode")(
+            self.vocoder_params, w2v_pred[:, :t_voc], frame_mask[:, :t_voc],
+            prompt.mel_pair, pred_lf0[:, : 4 * t_voc, None],
+            jnp.float32(kw.get("noise_scale_vc", 0.333)),
+            jax.random.PRNGKey(seed + 1),
+            jnp.float32(kw.get("denoise_ratio", 0.0)),
+        )
+        wav = np.asarray(wav)
+        outs = []
+        for i in range(b):
+            w = wav[i, : 320 * int(t_frames[i]), 0]
+            peak = np.abs(w).max()
+            outs.append((w / max(peak, 1e-8) * 0.999).astype(np.float32))
+        return outs
 
     def vc(
         self,
@@ -202,19 +369,27 @@ class TTSPipeline:
         pad = (t_s // 1280 + 1) * 1280 - t_s
         src = np.pad(source_audio, (0, pad))
 
-        f0 = np.asarray(yin_f0(jnp.asarray(src)[None]))[0]
-        t_f0 = np.asarray(yin_f0(jnp.asarray(target_audio)[None]))[0]
+        if "vc_front" not in self._jits:
+            def _vc_front(w2v_p, src_pad, src_plain, trg):
+                w2v = w2v_model.apply({"params": w2v_p}, src_pad)
+                return w2v, yin_f0(src_plain), yin_f0(trg)
+
+            self._jits["vc_front"] = jax.jit(_vc_front)
+        # w2v features with reflect-pad 40 (inference_vc.py:93, extract_w2v.py)
+        src_pad = np.pad(src, (40, 40), mode="reflect")
+        w2v, f0_d, t_f0_d = self._jits["vc_front"](
+            w2v_params, jnp.asarray(src_pad)[None], jnp.asarray(src)[None],
+            jnp.asarray(target_audio)[None],
+        )
+        f0 = np.array(f0_d)[0]
+        t_f0 = np.asarray(t_f0_d)[0]
+        t_frames = w2v.shape[1]
         ii = f0 != 0
         jj = t_f0 != 0
         if ii.any() and jj.any():
             f0[ii] = (f0[ii] - f0[ii].mean()) / max(f0[ii].std(), 1e-6)
             f0[ii] = np.clip(f0[ii] * t_f0[jj].std() + t_f0[jj].mean(), 0, None)
         denorm_lf0 = np.log(f0 + 1.0)
-
-        # w2v features with reflect-pad 40 (inference_vc.py:93, extract_w2v.py)
-        src_pad = np.pad(src, (40, 40), mode="reflect")
-        w2v = w2v_model.apply({"params": w2v_params}, jnp.asarray(src_pad)[None])
-        t_frames = w2v.shape[1]
 
         t_t = len(target_audio)
         pad_t = (t_t // 1600 + 1) * 1600 - t_t
@@ -224,24 +399,20 @@ class TTSPipeline:
         else:
             den = target_audio
         pair = np.stack([target_audio, den[:t_t]], axis=0)
-        trg_mel = jstft.mel_spectrogram_fixed(jnp.asarray(pair))
+        trg_mel = self._stage("mel")(jnp.asarray(pair))
 
         mask = jnp.ones((1, t_frames, 1), jnp.float32)
         lf0 = jnp.asarray(denorm_lf0[: 4 * t_frames], jnp.float32)
         if lf0.shape[0] < 4 * t_frames:
             lf0 = jnp.pad(lf0, (0, 4 * t_frames - lf0.shape[0]))
-        wav = self.vocoder.apply(
-            self.vocoder_params, w2v, mask, trg_mel,
-            jnp.ones((trg_mel.shape[0], trg_mel.shape[1], 1), jnp.float32),
-            lf0[None, :, None], noise_scale_vc, jax.random.PRNGKey(seed),
-            denoise_ratio, method=HierVocoder.voice_conversion,
+        wav = self._stage("vocode")(
+            self.vocoder_params, w2v, mask, trg_mel, lf0[None, :, None],
+            jnp.float32(noise_scale_vc), jax.random.PRNGKey(seed),
+            jnp.float32(denoise_ratio),
         )
-        wav = np.asarray(wav)[0, :, 0]
         if output_sr in (24000, 48000) and self.speechsr is not None:
-            up = self.speechsr.apply(
-                {"params": self.speechsr_params}, jnp.asarray(wav)[None, :, None]
-            )
-            wav = np.asarray(up)[0, :, 0]
+            wav = self._stage("sr")(self.speechsr_params, wav)
+        wav = np.asarray(wav)[0, :, 0]
         peak = np.abs(wav).max()
         return (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
 

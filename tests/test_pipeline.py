@@ -90,6 +90,42 @@ def test_vc_end_to_end(pipeline):
 
 
 @pytest.mark.slow
+def test_one_compile_per_bucket(pipeline):
+    """Serving contract: repeated requests in the same shape bucket re-use the
+    compiled executables — no per-request retracing (VERDICT round-1 item 1)."""
+    prompt = (np.random.default_rng(4).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    feats = pipeline.prompt_mel(prompt)  # warm the mel stage
+    del feats
+    pf = pipeline.prepare_prompt(prompt)
+    before = dict(pipeline.jit_stats())
+    # same text-length bucket + same frame bucket, different scalars/seeds
+    for seed, ns in [(1, 0.333), (2, 0.5), (3, 0.1)]:
+        pipeline.tts("sil zh ang1 h ao3 sp", prompt=pf, seed=seed,
+                     noise_scale_vc=ns, output_sr=16000)
+    after = pipeline.jit_stats()
+    grew_ac = after["acoustic"] - before.get("acoustic", 0)
+    grew_voc = after["vocode"] - before.get("vocode", 0)
+    assert grew_ac <= 1, f"acoustic retraced per request: {before} -> {after}"
+    assert grew_voc <= 1, f"vocoder retraced per request: {before} -> {after}"
+    # third call must not have added anything
+    pipeline.tts("sil zh ang1 h ao3 sp", prompt=pf, seed=9)
+    assert pipeline.jit_stats() == after
+
+
+@pytest.mark.slow
+def test_tts_batch(pipeline):
+    prompt = (np.random.default_rng(5).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    outs = pipeline.tts_batch(
+        ["sil zh ang1 h ao3 sp", "sil zh ang1 sp"], prompt_audio=prompt
+    )
+    assert len(outs) == 2
+    for w in outs:
+        assert w.ndim == 1 and np.isfinite(w).all() and np.abs(w).max() <= 1.0
+    # batching follows per-utterance lengths: first text has more phonemes
+    assert len(outs[0]) >= len(outs[1])
+
+
+@pytest.mark.slow
 def test_tts_without_plm(pipeline):
     prompt = (np.random.default_rng(3).uniform(-0.3, 0.3, 32000)).astype(np.float32)
     wav = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, use_plm=False)

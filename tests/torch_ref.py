@@ -158,6 +158,20 @@ def _install_stubs():
             m.engine = lambda: None
             sys.modules[name] = m
 
+    if "phonemizer.backend" not in sys.modules:
+        pb = _mk_module("phonemizer.backend")
+
+        class _EspeakBackend:  # ttv_v1/text/cleaners.py:19 builds one at import
+            def __init__(self, *a, **k):
+                pass
+
+            def phonemize(self, *a, **k):
+                raise NotImplementedError("espeak unavailable in tests")
+
+        pb.EspeakBackend = _EspeakBackend
+        sys.modules["phonemizer"].backend = pb
+        sys.modules["phonemizer.backend"] = pb
+
     # only stub genuinely-missing modules (joblib/sklearn are installed and
     # must not be shadowed — transformers imports sklearn -> joblib)
     import importlib.util
