@@ -132,20 +132,27 @@ class TTSPipeline:
             fn = jax.jit(_denoise)
         elif name == "acoustic":
             def _acoustic(ttv_vars, plm_params, x_ids, tone, lang, x_len,
-                          mel_ttv, mel_len, length_scale, rng,
-                          out_budget, top_k, use_plm):
+                          mel_ttv, mel_len, length_scale, rng, given_codes,
+                          out_budget, top_k, mode):
                 x_frame, g, frame_lengths, frame_mask = self.ttv.apply(
                     ttv_vars, x_ids, tone, lang, x_len, mel_ttv, mel_len,
                     out_budget, length_scale=length_scale,
                     method=TTVModel.inf_extract_tc_latent,
                 )
-                if use_plm:
+                if mode == "plm":
                     codes = plm_decode(
                         plm_params, x_frame,
                         n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,
                         go_id=self.plm.go_id, rng=rng, top_k=top_k,
                     )
-                else:
+                elif mode == "given":
+                    # externally supplied codes (eval/parity harnesses)
+                    t_need = x_frame.shape[1]
+                    codes = jnp.zeros((x_frame.shape[0], t_need), jnp.int32)
+                    codes = jax.lax.dynamic_update_slice(
+                        codes, given_codes[:, :t_need], (0, 0)
+                    )
+                else:  # "prompt"
                     # inference.py-equivalent no-PLM path: prosody codes from
                     # the prompt's own RVQ codes, tiled to the frame budget
                     pc = self.ttv.apply(
@@ -160,10 +167,10 @@ class TTSPipeline:
                 )
                 # pitch clipping: below log(55) -> 0 (inference_plm.py:169)
                 pred_lf0 = jnp.where(pred_lf0 < math.log(55.0), 0.0, pred_lf0)
-                return w2v_pred, pred_lf0, frame_lengths, frame_mask
+                return w2v_pred, pred_lf0, frame_lengths, frame_mask, x_frame, codes
 
             fn = jax.jit(_acoustic,
-                         static_argnames=("out_budget", "top_k", "use_plm"))
+                         static_argnames=("out_budget", "top_k", "mode"))
         elif name == "vocode":
             def _vocode(voc_params, w2v, mask, mel_pair, f0, noise_scale, rng,
                         denoise_ratio):
@@ -239,7 +246,9 @@ class TTSPipeline:
         use_plm: bool = True,
         prompt: Optional[PromptFeatures] = None,
         exact: bool = False,
-    ) -> np.ndarray:
+        codes: Optional[np.ndarray] = None,
+        return_intermediates: bool = False,
+    ):
         if prompt is None:
             assert prompt_audio is not None, "need prompt_audio or prompt features"
             prompt = self.prepare_prompt(prompt_audio, denoise_ratio)
@@ -255,20 +264,23 @@ class TTSPipeline:
         mel_len = jnp.asarray([prompt.mel_ttv.shape[1]], jnp.int32)
         out_budget = _bucket(int(n * 40 * length_scale))  # ~20 frames/phone cap
 
+        mode = "given" if codes is not None else ("plm" if use_plm else "prompt")
+        given = (jnp.asarray(codes, jnp.int32).reshape(1, -1)
+                 if codes is not None else jnp.zeros((1, 1), jnp.int32))
         acoustic = self._stage("acoustic")
         args = (self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
                 jnp.asarray(tone), jnp.asarray(lang), x_len,
                 prompt.mel_ttv, mel_len,
-                jnp.float32(length_scale), jax.random.PRNGKey(seed))
-        w2v_pred, pred_lf0, frame_lengths, frame_mask = acoustic(
-            *args, out_budget=out_budget, top_k=top_k, use_plm=use_plm
+                jnp.float32(length_scale), jax.random.PRNGKey(seed), given)
+        w2v_pred, pred_lf0, frame_lengths, frame_mask, x_frame, codes_out = acoustic(
+            *args, out_budget=out_budget, top_k=top_k, mode=mode
         )
         t_frames = int(jax.device_get(frame_lengths)[0])
         if exact:
             # re-run at exactly the predicted length: zero padded frames ->
             # numerically identical to the reference's dynamic-shape tts()
-            w2v_pred, pred_lf0, frame_lengths, frame_mask = acoustic(
-                *args, out_budget=2 * t_frames, top_k=top_k, use_plm=use_plm
+            w2v_pred, pred_lf0, frame_lengths, frame_mask, x_frame, codes_out = (
+                acoustic(*args, out_budget=2 * t_frames, top_k=top_k, mode=mode)
             )
             t_voc = t_frames
         else:
@@ -293,7 +305,16 @@ class TTSPipeline:
             wav = np.asarray(wav)[0, : 320 * t_frames, 0]
 
         peak = np.abs(wav).max()
-        return (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
+        out = (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
+        if return_intermediates:
+            return out, dict(
+                x_frame=np.asarray(x_frame)[:, :t_frames],
+                codes=np.asarray(codes_out)[:, :t_frames],
+                w2v=np.asarray(w2v_pred)[:, :t_frames],
+                lf0=np.asarray(pred_lf0)[:, : 4 * t_frames],
+                frame_lengths=t_frames,
+            )
+        return out
 
     def tts_batch(
         self,
@@ -325,13 +346,13 @@ class TTSPipeline:
 
         mel_ttv = jnp.tile(prompt.mel_ttv, (b, 1, 1))
         mel_len = jnp.full((b,), prompt.mel_ttv.shape[1], jnp.int32)
-        w2v_pred, pred_lf0, frame_lengths, frame_mask = self._stage("acoustic")(
+        w2v_pred, pred_lf0, frame_lengths, frame_mask, _, _ = self._stage("acoustic")(
             self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
             jnp.asarray(tone), jnp.asarray(lang), jnp.asarray(lens),
             mel_ttv, mel_len, jnp.float32(length_scale),
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed), jnp.zeros((1, 1), jnp.int32),
             out_budget=out_budget, top_k=kw.get("top_k", 0),
-            use_plm=kw.get("use_plm", True),
+            mode="plm" if kw.get("use_plm", True) else "prompt",
         )
         t_frames = np.asarray(jax.device_get(frame_lengths))
         t_voc = _bucket(int(t_frames.max()))

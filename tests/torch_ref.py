@@ -109,13 +109,66 @@ def _install_stubs():
                     return spec
                 return spec.abs() ** self.power
 
+        class _MelSpectrogram(nn.Module):
+            """torchaudio.transforms.MelSpectrogram stand-in: power-2 centered
+            STFT x HTK mel filterbank (norm=None) — the exact composition the
+            reference's Mels_preprocess.MelSpectrogramFixed wraps."""
+
+            def __init__(self, sample_rate=16000, n_fft=400, win_length=None,
+                         hop_length=None, f_min=0.0, f_max=None, n_mels=128,
+                         window_fn=torch.hann_window, power=2.0, center=True,
+                         pad_mode="reflect", norm=None, mel_scale="htk", **kw):
+                super().__init__()
+                self.spectrogram = _Spectrogram(
+                    n_fft=n_fft, win_length=win_length, hop_length=hop_length,
+                    window_fn=window_fn, center=center, pad_mode=pad_mode,
+                    power=power,
+                )
+                from transformers.audio_utils import mel_filter_bank
+
+                fb = mel_filter_bank(
+                    num_frequency_bins=n_fft // 2 + 1,
+                    num_mel_filters=n_mels,
+                    min_frequency=f_min,
+                    max_frequency=f_max or sample_rate / 2,
+                    sampling_rate=sample_rate,
+                    norm=norm,
+                    mel_scale=mel_scale,
+                )
+                self.register_buffer("fb", torch.from_numpy(fb).float())
+
+            def forward(self, x):
+                spec = self.spectrogram(x)  # (..., n_freqs, F)
+                return torch.einsum("...kf,km->...mf", spec, self.fb)
+
+        def _ta_load(path):
+            from scipy.io import wavfile
+
+            sr, data = wavfile.read(path)
+            if data.dtype.kind == "i":
+                data = data.astype("float32") / float(
+                    2 ** (8 * data.dtype.itemsize - 1)
+                )
+            else:
+                data = data.astype("float32")
+            if data.ndim == 1:
+                data = data[None, :]
+            else:
+                data = data.T
+            return torch.from_numpy(data.copy()), sr
+
         ta_transforms = _mk_module("torchaudio.transforms")
         ta_transforms.Spectrogram = _Spectrogram
-        ta_transforms.MelSpectrogram = None  # built on demand in dsp tests
+        ta_transforms.MelSpectrogram = _MelSpectrogram
         ta_transforms.MelScale = None
+        ta_functional = _mk_module("torchaudio.functional")
+        ta_functional.resample = None  # tests always feed 16 kHz wavs
         ta.transforms = ta_transforms
+        ta.functional = ta_functional
+        ta.load = _ta_load
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = ta_transforms
+        sys.modules["torchaudio.functional"] = ta_functional
 
     if "monotonic_align" not in sys.modules:
         ma = _mk_module("monotonic_align")
@@ -157,6 +210,42 @@ def _install_stubs():
             m.phonemize = None
             m.engine = lambda: None
             sys.modules[name] = m
+
+    # train_ms.py:18 imports Utils.ASR.models.ASRCNN — the Utils/ package is
+    # absent from the reference repo itself (dangling dependency, SURVEY §2.9);
+    # stub it so inference_plm.py (which imports train_ms) is importable.
+    if "Utils" not in sys.modules:
+        u = _mk_module("Utils")
+        u_asr = _mk_module("Utils.ASR")
+        u_models = _mk_module("Utils.ASR.models")
+
+        class _ASRCNN(nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        u_models.ASRCNN = _ASRCNN
+        u.ASR = u_asr
+        u_asr.models = u_models
+        sys.modules["Utils"] = u
+        sys.modules["Utils.ASR"] = u_asr
+        sys.modules["Utils.ASR.models"] = u_models
+
+    if "coloredlogs" not in sys.modules:
+        cl = _mk_module("coloredlogs")
+        cl.install = lambda *a, **k: None
+        sys.modules["coloredlogs"] = cl
+
+    if "amfm_decompy" not in sys.modules:
+        am = _mk_module("amfm_decompy")
+        am_basic = _mk_module("amfm_decompy.basic_tools")
+        am_pyaapt = _mk_module("amfm_decompy.pYAAPT")
+        am_basic.SignalObj = None  # YAAPT unavailable; callers must patch f0
+        am_pyaapt.yaapt = None
+        am.basic_tools = am_basic
+        am.pYAAPT = am_pyaapt
+        sys.modules["amfm_decompy"] = am
+        sys.modules["amfm_decompy.basic_tools"] = am_basic
+        sys.modules["amfm_decompy.pYAAPT"] = am_pyaapt
 
     if "phonemizer.backend" not in sys.modules:
         pb = _mk_module("phonemizer.backend")
@@ -200,6 +289,15 @@ def add_reference_path():
     _install_stubs()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+
+
+def patch_cuda_noop():
+    """Make .cuda()/.to('cuda') no-ops so the reference inference scripts —
+    which call .cuda() at import time (data_utils.py:91) and throughout
+    tts()/VC() — run unmodified on CPU. Call before importing inference_plm/
+    inference_vc. Process-wide and idempotent (test-only)."""
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
 
 
 def preload_ar_patched_mha():
