@@ -383,9 +383,13 @@ class TTSPipeline:
         noise_scale_vc: float = 0.333,
         output_sr: int = 16000,
         seed: int = 1234,
-    ) -> np.ndarray:
+        src_f0: Optional[np.ndarray] = None,
+        trg_f0: Optional[np.ndarray] = None,
+        return_intermediates: bool = False,
+    ):
         """Voice conversion (inference_vc.py): source w2v + speaker-normalized
-        f0, target style."""
+        f0, target style. src_f0/trg_f0 (Hz @200 Hz frame rate, 0=unvoiced)
+        override the built-in YIN tracker — for sidecar f0 or parity harnesses."""
         t_s = len(source_audio)
         pad = (t_s // 1280 + 1) * 1280 - t_s
         src = np.pad(source_audio, (0, pad))
@@ -402,8 +406,10 @@ class TTSPipeline:
             w2v_params, jnp.asarray(src_pad)[None], jnp.asarray(src)[None],
             jnp.asarray(target_audio)[None],
         )
-        f0 = np.array(f0_d)[0]
-        t_f0 = np.asarray(t_f0_d)[0]
+        f0 = (np.asarray(src_f0, np.float32).copy() if src_f0 is not None
+              else np.array(f0_d)[0])
+        t_f0 = (np.asarray(trg_f0, np.float32) if trg_f0 is not None
+                else np.asarray(t_f0_d)[0])
         t_frames = w2v.shape[1]
         ii = f0 != 0
         jj = t_f0 != 0
@@ -435,7 +441,12 @@ class TTSPipeline:
             wav = self._stage("sr")(self.speechsr_params, wav)
         wav = np.asarray(wav)[0, :, 0]
         peak = np.abs(wav).max()
-        return (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
+        out = (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
+        if return_intermediates:
+            return out, dict(
+                w2v=np.asarray(w2v), lf0=denorm_lf0, t_frames=t_frames,
+            )
+        return out
 
 
 def build_pipeline_from_reference_ckpts(

@@ -140,9 +140,18 @@ def world(tmp_path_factory):
     wavfile.write(prompt_path, 16000, wav_i16)
     prompt_f32 = wav_i16.astype(np.float32) / 32768.0
 
+    # VC source wav: different content + length (also not a 1280-multiple)
+    src_i16 = (np.sin(2 * np.pi * 140.0 * np.arange(14321) / 16000.0) * 0.25
+               * 32767 + rng.uniform(-0.05, 0.05, 14321) * 32767
+               ).astype(np.int16)
+    src_path = str(tmp / "source.wav")
+    wavfile.write(src_path, 16000, src_i16)
+    src_f32 = src_i16.astype(np.float32) / 32768.0
+
     return SimpleNamespace(
         ttv_t=ttv_t, plm_t=plm_t, voc_t=voc_t, mel_fn=mel_fn, pipe=pipe,
         prompt_path=prompt_path, prompt_f32=prompt_f32, tmp=tmp,
+        src_path=src_path, src_f32=src_f32,
     )
 
 
@@ -240,10 +249,8 @@ def test_tts_composed_parity(world):
     assert rel < 5e-2
 
 
-@pytest.mark.slow
-def test_tts_composed_parity_denoise(world):
-    """denoise_ratio=0.8 path: MP-SENet denoise of the padded prompt + style
-    interpolation between [orig; denoised] mels (inference_plm.py:141-156)."""
+def _make_denoiser():
+    """Small-but-structural MP-SENet pair (reference torch + converted jax)."""
     from denoiser.generator import MPNet as RefMPNet
     from megatts2_hierspeechpp_tpu.utils.config import HParams
 
@@ -254,6 +261,14 @@ def test_tts_composed_parity_denoise(world):
     )
     torch.manual_seed(3)
     den_t = RefMPNet(h, num_tscblocks=2).eval()
+    return h, den_t
+
+
+@pytest.mark.slow
+def test_tts_composed_parity_denoise(world):
+    """denoise_ratio=0.8 path: MP-SENet denoise of the padded prompt + style
+    interpolation between [orig; denoised] mels (inference_plm.py:141-156)."""
+    h, den_t = _make_denoiser()
 
     world.pipe.denoiser = MPNet(dense_channel=16, num_tsblocks=2, n_freqs=201)
     world.pipe.denoiser_vars = convert_denoiser(den_t.state_dict(), num_tsblocks=2)
@@ -277,3 +292,174 @@ def test_tts_composed_parity_denoise(world):
     print(f"wav corr={corr:.6f}")
     assert corr > 0.999
     assert rel < 5e-2
+
+
+# ---------------------------------------------------------------- VC parity
+
+def _fake_yaapt_f0(audio, rate=16000, interp=False):
+    """Deterministic stand-in for the reference get_yaapt_f0
+    (inference_vc.py:28-43): same framing contract (200 Hz = hop 80,
+    (B, 1, T//80), 0 = unvoiced), content-dependent so source/target
+    distributions differ and the speaker-stat transfer math is exercised."""
+    out = []
+    for y in np.asarray(audio, np.float64):
+        y = y.reshape(-1)
+        t = y.shape[0] // 80
+        base = 120.0 + 300.0 * min(float(np.abs(y).mean()), 0.5)
+        ph = np.arange(t, dtype=np.float64)
+        f = base + 35.0 * np.sin(2 * np.pi * ph / 31.0)
+        voiced = (ph % 17) != 0
+        out.append((f * voiced)[None, None, :])
+    return np.vstack(out)
+
+
+@pytest.fixture(scope="module")
+def w2v_pair():
+    """Small-but-1024-wide wav2vec2 (the vocoder's w2v input is fixed at
+    1024ch, hierspeechpp_speechsynthesizer.py:608) + our converted model."""
+    from transformers import Wav2Vec2Config, Wav2Vec2ForPreTraining
+    from megatts2_hierspeechpp_tpu.models.wav2vec2 import Wav2Vec2
+    from megatts2_hierspeechpp_tpu.models.convert import convert_wav2vec2
+
+    cfg = Wav2Vec2Config(
+        hidden_size=1024, num_hidden_layers=8, num_attention_heads=8,
+        intermediate_size=256, conv_dim=[32] * 7,
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2], conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        feat_extract_norm="layer", do_stable_layer_norm=True, conv_bias=True,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        layerdrop=0.0, codevector_dim=32, proj_codevector_dim=32,
+    )
+    torch.manual_seed(11)
+    w2v_t = Wav2Vec2ForPreTraining(cfg).eval()
+    w2v_j = Wav2Vec2(hidden_size=1024, n_heads=8, ffn_dim=256,
+                     output_layer=7, conv_dim=(32,) * 7)
+    return w2v_t, w2v_j, convert_wav2vec2(w2v_t.state_dict(), output_layer=7)
+
+
+def _run_reference_vc(world, w2v_t, out_dir, denoise_ratio=0.0, denoiser=None,
+                      hps_denoiser=None):
+    """Execute the reference inference_vc.VC() verbatim on CPU with the
+    deterministic f0 stub, capturing the vocoder inputs."""
+    import inference_vc
+    from hierspeechpp_speechsynthesizer import Wav2vec2 as RefW2V
+
+    inference_vc.device = torch.device("cpu")
+    inference_vc.get_yaapt_f0 = _fake_yaapt_f0
+    if hps_denoiser is not None:
+        inference_vc.hps_denoiser = hps_denoiser
+
+    # reference wrapper forward without its from_pretrained __init__
+    ref_w2v = RefW2V.__new__(RefW2V)
+    torch.nn.Module.__init__(ref_w2v)
+    ref_w2v.wav2vec2 = w2v_t
+    ref_w2v.feature_layer = 7
+
+    cap = {}
+    net_g = world.voc_t
+    orig_vc = net_g.voice_conversion_noise_control
+
+    def vc_capture(w2v, x_length, mel, length2, f0, **kw):
+        cap["w2v"] = w2v.detach().clone()
+        cap["f0"] = f0.detach().clone()
+        return orig_vc(w2v, x_length, mel, length2, f0, **kw)
+
+    net_g.voice_conversion_noise_control = vc_capture
+    a = SimpleNamespace(
+        source_speech=world.src_path, target_speech=world.prompt_path,
+        output_dir=str(out_dir), scale_norm="max", noise_scale_vc=0.0,
+        denoise_ratio=denoise_ratio, output_sr=16000,
+    )
+    try:
+        with torch.no_grad():
+            inference_vc.VC(a, (net_g, None, denoiser, world.mel_fn, ref_w2v))
+    finally:
+        net_g.voice_conversion_noise_control = orig_vc
+
+    from scipy.io import wavfile
+
+    name = (os.path.splitext(os.path.basename(world.src_path))[0] + "_to_"
+            + os.path.splitext(os.path.basename(world.prompt_path))[0] + ".wav")
+    sr, data = wavfile.read(os.path.join(str(out_dir), name))
+    assert sr == 16000
+    return data.astype(np.float32) / 32767.0, cap
+
+
+def _vc_f0s(world):
+    """The f0s our pipeline receives: same frames the stub hands the
+    reference (source padded to a 1280-multiple, target unpadded)."""
+    t_s = len(world.src_f32)
+    pad = (t_s // 1280 + 1) * 1280 - t_s
+    src_pad = np.pad(world.src_f32, (0, pad))
+    src_f0 = _fake_yaapt_f0(src_pad[None])[0, 0]
+    trg_f0 = _fake_yaapt_f0(world.prompt_f32[None])[0, 0]
+    return src_f0, trg_f0
+
+
+@pytest.mark.slow
+def test_vc_composed_parity(world, w2v_pair):
+    """Full composed VC path vs reference VC() (inference_vc.py:70-172):
+    source pad-to-1280 -> reflect-pad-40 w2v -> speaker-stat f0 transfer ->
+    log(f0+1) -> target mel pair -> voice_conversion_noise_control -> max
+    norm. noise_scale_vc=0 for determinism; shared deterministic f0 stub."""
+    w2v_t, w2v_j, w2v_params = w2v_pair
+    ref_wav, cap = _run_reference_vc(world, w2v_t, world.tmp / "vc0")
+
+    src_f0, trg_f0 = _vc_f0s(world)
+    ours_wav, inter = world.pipe.vc(
+        world.src_f32, world.prompt_f32, w2v_j, w2v_params,
+        noise_scale_vc=0.0, output_sr=16000, src_f0=src_f0, trg_f0=trg_f0,
+        return_intermediates=True,
+    )
+
+    d, rel = _report("vc.w2v", inter["w2v"][0], cap["w2v"][0].numpy().T)
+    assert rel < 1e-3 and np.quantile(d, 0.99) < 2e-2
+
+    ref_lf0 = cap["f0"].numpy().reshape(-1)
+    assert inter["lf0"].shape[0] == ref_lf0.shape[0], \
+        (inter["lf0"].shape, ref_lf0.shape)
+    d, _ = _report("vc.lf0", inter["lf0"], ref_lf0)
+    assert d.max() < 1e-5
+
+    assert len(ours_wav) == len(ref_wav), (len(ours_wav), len(ref_wav))
+    # random-weight vocoder output is noise-like, so corr is content-
+    # sensitive; relL2 is the load-bearing bound (fp32 conv-stack drift)
+    d, rel = _report("vc.wav", ours_wav, ref_wav)
+    corr = np.corrcoef(ours_wav, ref_wav)[0, 1]
+    print(f"vc wav corr={corr:.6f}")
+    assert corr > 0.998
+    assert rel < 5e-3
+
+
+@pytest.mark.slow
+def test_vc_composed_parity_denoise(world, w2v_pair):
+    """denoise_ratio=0.8 VC: MP-SENet on the padded target + the vocoder's
+    internal style interpolation between the [orig; denoised] mel rows
+    (inference_vc.py:127-137)."""
+    from megatts2_hierspeechpp_tpu.models.convert import convert_denoiser
+
+    w2v_t, w2v_j, w2v_params = w2v_pair
+    h, den_t = _make_denoiser()
+    world.pipe.denoiser = MPNet(dense_channel=16, num_tsblocks=2, n_freqs=201)
+    world.pipe.denoiser_vars = convert_denoiser(den_t.state_dict(), num_tsblocks=2)
+    try:
+        ref_wav, cap = _run_reference_vc(
+            world, w2v_t, world.tmp / "vc_dn", denoise_ratio=0.8,
+            denoiser=den_t, hps_denoiser=h,
+        )
+        src_f0, trg_f0 = _vc_f0s(world)
+        ours_wav = world.pipe.vc(
+            world.src_f32, world.prompt_f32, w2v_j, w2v_params,
+            noise_scale_vc=0.0, denoise_ratio=0.8, output_sr=16000,
+            src_f0=src_f0, trg_f0=trg_f0,
+        )
+    finally:
+        world.pipe.denoiser = None
+        world.pipe.denoiser_vars = None
+
+    assert len(ours_wav) == len(ref_wav)
+    d, rel = _report("vc.wav(denoise)", ours_wav, ref_wav)
+    corr = np.corrcoef(ours_wav, ref_wav)[0, 1]
+    print(f"vc wav corr={corr:.6f}")
+    assert corr > 0.998
+    assert rel < 5e-3
