@@ -85,11 +85,17 @@ def main():
             state = restored
             logging.info("resumed at step %d", int(np.asarray(state.step)))
         else:
-            from megatts2_hierspeechpp_tpu.models.ttv import max_pool8
-
-            mel20 = first["mel"][:, :, :20]
-            pooled = np.asarray(max_pool8(jax.numpy.asarray(mel20)))
-            samples = pooled.reshape(-1, 20)
+            # fit k-means on the TRUE quantizer inputs of the first batch
+            # (plm_conv1 -> pool8 -> plm_conv2 at step-0 params), matching the
+            # reference's in-forward kmeans_init; masked frames excluded
+            feats, pool_mask = ttv.apply(
+                {"params": state.params_g, "vq": state.vq},
+                jax.numpy.asarray(first["mel"]),
+                jax.numpy.asarray(first["mel_lengths"]),
+                method=TTVModel.pre_vq_features,
+            )
+            keep = np.asarray(pool_mask)[..., 0].reshape(-1) > 0
+            samples = np.asarray(feats).reshape(-1, feats.shape[-1])[keep]
             new_vq = init_rvq_state(state.vq["quantizer"], samples,
                                     seed=hps.train.seed)
             state = state.replace(vq={"quantizer": new_vq})

@@ -17,6 +17,7 @@ specializes on a small set of shapes.
 """
 from __future__ import annotations
 
+import logging
 import os
 import random
 from dataclasses import dataclass
@@ -25,6 +26,8 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from megatts2_hierspeechpp_tpu.data import text as text_frontend
+
+log = logging.getLogger("megatts2")
 
 
 def load_filelists(list_of_lists_path: str) -> List[List[str]]:
@@ -66,19 +69,27 @@ def _load_feature(path: str) -> np.ndarray:
 
 
 def durations_to_frames(dur_sec: np.ndarray, total_frames: int) -> np.ndarray:
-    """MFA seconds -> 10 ms frames; rounding error folded into first/last phone
-    (data_utils.py:363-382)."""
+    """MFA seconds -> 10 ms frames with reference-exact rounding-error
+    redistribution (data_utils.py:369-382): a deficit is split half onto the
+    first phone and the rest onto the last; a surplus comes off the last
+    phone. Deviation (documented): where the reference lets dur[-1] go
+    negative on a large surplus, we clip at zero and take the remainder from
+    the longest phones so sum(frames) == total_frames always holds (Gaussian
+    upsampling centers must stay inside the frame budget)."""
     frames = np.round(np.asarray(dur_sec, np.float64) / 0.010).astype(np.int64)
     err = int(total_frames - frames.sum())
     if err > 0:
-        frames[-1] += err
+        begin = err // 2
+        frames[0] += begin
+        frames[-1] += err - begin
     elif err < 0:
-        # remove surplus from the longest phones, first/last preferred
         frames[-1] += err
-        if frames[-1] < 0:
-            frames[0] += frames[-1]
-            frames[-1] = 0
-            frames[0] = max(frames[0], 0)
+        while frames.min() < 0:
+            neg_i = int(frames.argmin())
+            deficit = int(frames[neg_i])
+            frames[neg_i] = 0
+            frames[int(frames.argmax())] += deficit
+    assert int(frames.sum()) == total_frames, (int(frames.sum()), total_frames)
     return frames
 
 
@@ -102,6 +113,10 @@ class SidecarDataset:
         self.items = [e for e in entries if self._valid(e)]
 
     def _valid(self, entry) -> bool:
+        """Existence + tolerance filtering (reference data_utils.py:241-272:
+        mis-aligned items are *dropped with a log line*, never silently
+        truncated): |2*w2v_frames - sum(dur_frames)| must be within
+        2*dur_tolerance, and the phone-duration count must match the text."""
         wav = entry[0]
         for suffix in (".hf0.npy", ".hmel.npy", ".dur.npy"):
             if not os.path.exists(_sidecar(wav, suffix)):
@@ -115,7 +130,35 @@ class SidecarDataset:
             ids, _, _ = text_frontend.process_text(entry[2])
         except KeyError:
             return False
-        return 0 < len(ids) <= self.cfg.max_text_len
+        if not 0 < len(ids) <= self.cfg.max_text_len:
+            return False
+        dur_sec = np.load(_sidecar(wav, ".dur.npy")).reshape(-1)
+        if len(dur_sec) != len(ids):
+            log.warning("%s: %d phone durations vs %d text symbols — dropped",
+                        wav, len(dur_sec), len(ids))
+            return False
+        dur_frames = int(np.round(dur_sec / 0.010).sum())
+        w2v_frames = self._w2v_frames(wav)
+        if abs(2 * w2v_frames - dur_frames) > 2 * self.cfg.dur_tolerance:
+            log.warning("%s: dur %d vs 2*w2v %d frames not aligned — dropped",
+                        wav, dur_frames, 2 * w2v_frames)
+            return False
+        return True
+
+    @staticmethod
+    def _w2v_frames(wav: str) -> int:
+        npy = _sidecar(wav, ".hw2v.npy")
+        if os.path.exists(npy):
+            arr = np.load(npy, mmap_mode="r")
+        else:
+            import torch
+
+            arr = torch.load(_sidecar(wav, ".hw2v.pt"), map_location="cpu",
+                             weights_only=True).numpy()
+        shape = [s for s in arr.shape if s != 1]
+        if len(shape) == 1:
+            return shape[0]
+        return shape[1] if shape[0] == 1024 else shape[0]
 
     def __len__(self):
         return len(self.items)
@@ -160,9 +203,8 @@ class SidecarDataset:
 
         dur_sec = np.load(_sidecar(wav, ".dur.npy")).reshape(-1)
         dur = durations_to_frames(dur_sec, 2 * t8)
-        if len(dur) != len(ids):
-            n = min(len(dur), len(ids))
-            dur, ids, tones, langs = dur[:n], ids[:n], tones[:n], langs[:n]
+        # length mismatch is filtered in _valid (reference drops, we drop)
+        assert len(dur) == len(ids), (wav, len(dur), len(ids))
 
         mrte_mel = self._mrte_mel(mrte_ref)
 
@@ -281,11 +323,11 @@ class DistributedBucketSampler:
             ids = list(bucket)
             rng.shuffle(ids)
             world = self.num_replicas * self.batch_size
+            # cycle-pad up to a world-divisible count (data_utils.py:599-600);
+            # small buckets repeat rather than starve
             rem = (-len(ids)) % world
-            ids = ids + ids[:rem] if rem and len(ids) >= rem else ids + ids * 0
-            if len(ids) < world:
-                continue
-            ids = ids[: len(ids) - len(ids) % world]
+            if rem:
+                ids = ids + ids * (rem // len(ids)) + ids[: rem % len(ids)]
             shard = ids[self.rank :: self.num_replicas]
             for i in range(0, len(shard) - self.batch_size + 1, self.batch_size):
                 all_batches.append(shard[i : i + self.batch_size])

@@ -16,12 +16,20 @@ from megatts2_hierspeechpp_tpu.ops.stft import mel_spectrogram_fixed
 
 
 def mel_l1(wav_a: np.ndarray, wav_b: np.ndarray, sr: int = 16000) -> float:
-    """Mean absolute log-mel difference; wavs are trimmed to the common length."""
+    """Mean absolute log-mel difference; wavs are trimmed to the common length.
+
+    Framing (n_fft/hop/win/fmax) scales with sr so 24 k/48 k comparisons (e.g.
+    SpeechSR outputs) keep the reference's 80 ms window / 20 ms hop contract
+    instead of silently reusing 16 k framing with an 8 kHz-capped filterbank."""
+    assert sr % 16000 == 0, f"unsupported sample rate {sr}"
+    scale = sr // 16000
     n = min(len(wav_a), len(wav_b))
     a = jnp.asarray(wav_a[:n], jnp.float32)[None]
     b = jnp.asarray(wav_b[:n], jnp.float32)[None]
-    mel_a = mel_spectrogram_fixed(a, sr=sr)
-    mel_b = mel_spectrogram_fixed(b, sr=sr)
+    kw = dict(sr=sr, n_fft=1280 * scale, hop=320 * scale,
+              win_length=1280 * scale, fmax=8000.0 * scale)
+    mel_a = mel_spectrogram_fixed(a, **kw)
+    mel_b = mel_spectrogram_fixed(b, **kw)
     return float(jnp.mean(jnp.abs(mel_a - mel_b)))
 
 
@@ -43,6 +51,15 @@ def waveform_metrics(wav_a: np.ndarray, wav_b: np.ndarray) -> Dict[str, float]:
 def main():
     import argparse
 
+    import jax
+
+    # host-side metric tool: seconds on CPU vs minutes of tunnel compile on
+    # the axon TPU backend; must run before any backend initialization
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     from scipy.io import wavfile
 
     p = argparse.ArgumentParser(description="Compare two wavs (mel L1 + SNR)")
@@ -58,7 +75,22 @@ def main():
 
     sr_a, a = load(args.wav_a)
     sr_b, b = load(args.wav_b)
-    assert sr_a == sr_b, (sr_a, sr_b)
+    if sr_a != sr_b:
+        # upsample the lower-rate wav with the kaiser-sinc AA resampler so
+        # cross-rate comparisons (e.g. SpeechSR 48k output vs its 16k input)
+        # share one framing
+        from megatts2_hierspeechpp_tpu.ops.resample import upsample1d
+
+        lo_is_a = sr_a < sr_b
+        lo, hi = (sr_a, sr_b) if lo_is_a else (sr_b, sr_a)
+        assert hi % lo == 0, (sr_a, sr_b)
+        ratio = hi // lo
+        wav_lo = a if lo_is_a else b
+        up = np.asarray(upsample1d(
+            jnp.asarray(wav_lo, jnp.float32)[None, :, None], ratio=ratio
+        ))[0, :, 0]
+        a, b = (up, b) if lo_is_a else (a, up)
+        sr_a = sr_b = hi
     out = {"mel_l1": mel_l1(a, b, sr=sr_a)}
     out.update(waveform_metrics(a, b))
     import json

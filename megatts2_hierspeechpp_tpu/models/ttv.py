@@ -288,6 +288,22 @@ class TTVModel(nn.Module):
         quantized, codes, commit = self.quantizer(m, train=train, rng=rng)
         return quantized, codes, commit
 
+    def pre_vq_features(self, mel, mel_lengths):
+        """Quantizer *input* features (plm_conv1 -> pool8 -> plm_conv2) for
+        k-means codebook init — the reference fits k-means on exactly these
+        first-batch activations inside the forward (quantize_spectrogram.py
+        kmeans_init path), not on raw pooled mel."""
+        mel_len = mel.shape[1]
+        mel_mask = feature_mask(mel_lengths, mel_len)
+        mel_pool_mask = feature_mask(
+            jnp.ceil(mel_lengths / 8).astype(jnp.int32), mel_len // 8
+        )
+        m = mel[..., : self.prosody_size].astype(jnp.float32)
+        m = self.plm_conv1(m, mel_mask)
+        m = max_pool8(m)
+        m = self.plm_conv2(m, mel_pool_mask)
+        return m, mel_pool_mask
+
     # ---------- training forward (:807-885) ----------
 
     def __call__(

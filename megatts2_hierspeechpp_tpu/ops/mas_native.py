@@ -1,30 +1,39 @@
 """ctypes binding for the native C++/OpenMP MAS kernel (native/mas.cpp).
 
-Compiled lazily with g++ on first use (cached as libmas.so next to the source);
+Always compiled from source with the local toolchain, cached in a temp dir
+keyed on a hash of mas.cpp (no prebuilt binaries are shipped or trusted);
 see ops/monotonic_align.py for the TPU-resident JAX variant.
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 from functools import lru_cache
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "mas.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libmas.so")
 
 
 @lru_cache(maxsize=1)
 def _load():
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "megatts2_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, f"libmas-{src_hash}.so")
+    if not os.path.exists(lib_path):
+        tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True,
         )
-    lib = ctypes.CDLL(_LIB)
+        os.replace(tmp, lib_path)  # atomic vs concurrent test workers
+    lib = ctypes.CDLL(lib_path)
     lib.maximum_path_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),

@@ -40,14 +40,21 @@ class ScalarLogger:
 
 
 def prefetch(iterable: Iterable, size: int = 2):
-    """Host-side loader prefetch (the reference used DataLoader workers)."""
+    """Host-side loader prefetch (the reference used DataLoader workers).
+
+    Producer errors (missing/corrupt sidecar .npy, I/O failures) are carried
+    across the thread boundary and re-raised in the consumer so training
+    fails loudly instead of hanging on q.get()."""
     q: Queue = Queue(maxsize=size)
     _SENTINEL = object()
 
     def producer():
-        for item in iterable:
-            q.put(item)
-        q.put(_SENTINEL)
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -55,6 +62,8 @@ def prefetch(iterable: Iterable, size: int = 2):
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

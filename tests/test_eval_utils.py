@@ -35,3 +35,21 @@ def test_throughput_counters():
     assert r["audio_seconds_per_sec"] > 0
     assert r["tokens_per_sec"] > 0
     assert r["steps_per_sec"] > 0
+
+
+def test_mel_l1_sr_scaled_framing():
+    """24k/48k comparisons scale n_fft/hop/fmax with sr (same 80 ms / 20 ms
+    contract) instead of silently reusing 16k framing."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    t = np.arange(48000) / 48000.0
+    a48 = (np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(t.size)
+           ).astype(np.float32)
+    assert mel_l1(a48, a48, sr=48000) < 1e-6
+    # identical content at 16k vs 48k framing gives comparable magnitudes:
+    # a 3x-framing mismatch would triple the frame count; check frame parity
+    # indirectly via a self-vs-noise distance being O(1), not degenerate
+    b48 = rng.standard_normal(48000).astype(np.float32) * 0.3
+    d = mel_l1(a48, b48, sr=48000)
+    assert 0.05 < d < 20.0

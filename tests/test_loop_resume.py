@@ -63,3 +63,26 @@ def test_training_resumes_from_latest_checkpoint(tmp_path):
     assert int(state3.step) == 9
     # scalars were appended
     assert os.path.exists(os.path.join(model_dir, "scalars.jsonl"))
+
+
+def test_prefetch_propagates_producer_errors():
+    """A dataset iterator that raises (corrupt sidecar, I/O error) must fail
+    the training loop loudly, not hang the consumer on q.get()."""
+    from megatts2_hierspeechpp_tpu.train.loop import prefetch
+
+    def bad_iter():
+        yield 1
+        yield 2
+        raise FileNotFoundError("corrupt.hw2v.npy")
+
+    got = []
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        for item in prefetch(bad_iter(), size=2):
+            got.append(item)
+    assert got == [1, 2]
+
+
+def test_prefetch_clean_exhaustion():
+    from megatts2_hierspeechpp_tpu.train.loop import prefetch
+
+    assert list(prefetch(iter(range(5)), size=2)) == list(range(5))

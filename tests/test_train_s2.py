@@ -64,3 +64,40 @@ def test_s2_train_step_runs_on_mesh():
     # VQ EMA stats must have moved
     cs = state.vq["quantizer"]["vq_0"]["codebook"]["cluster_size"]
     assert float(jnp.sum(cs)) > 0
+
+
+def test_kmeans_init_on_true_pre_vq_features():
+    """CLI k-means init path: fit on the quantizer's actual inputs
+    (plm_conv1 -> pool8 -> plm_conv2 at step-0 params), masked frames
+    excluded — not on raw pooled mel."""
+    from megatts2_hierspeechpp_tpu.ops.kmeans import init_rvq_state
+
+    ttv = TTVModel(n_vocab=40, n_tone=10, n_language=3, text_layers=1,
+                   mel_enc_layers=1, w2v_enc_layers=1, w2v_dec_layers=2,
+                   vq_bins=16)
+    disc = MultiResSpecDiscriminator()
+    tx_g = adamw(1e-4, steps_per_epoch=10)
+    tx_d = adamw(1e-4, steps_per_epoch=10)
+    batch = tiny_batch(b=4, mel_len=64)
+    batch["mel_lengths"] = np.asarray([64, 48, 40, 33], np.int32)
+    state = create_state(ttv, disc, tx_g, tx_d, jax.random.PRNGKey(0), batch)
+
+    feats, pool_mask = ttv.apply(
+        {"params": state.params_g, "vq": state.vq},
+        jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lengths"]),
+        method=TTVModel.pre_vq_features,
+    )
+    assert feats.shape == (4, 8, 20)
+    keep = np.asarray(pool_mask)[..., 0].reshape(-1) > 0
+    assert keep.sum() == 8 + 6 + 5 + 5  # ceil(len/8) valid pooled frames
+    samples = np.asarray(feats).reshape(-1, 20)[keep]
+    new_vq = init_rvq_state(state.vq["quantizer"], samples, seed=0)
+    emb = np.asarray(jax.tree_util.tree_leaves(new_vq)[0])
+    # codebook now lives in the feature distribution, not at the zero init
+    flat = samples.reshape(-1, 20)
+    assert np.isfinite(emb).all()
+    lo, hi = flat.min() - 1e-3, flat.max() + 1e-3
+    embs = [l for l in jax.tree_util.tree_leaves(new_vq)
+            if np.asarray(l).ndim == 2 and np.asarray(l).shape[-1] == 20]
+    assert embs and all(((np.asarray(e) >= lo) & (np.asarray(e) <= hi)).all()
+                        for e in embs)
