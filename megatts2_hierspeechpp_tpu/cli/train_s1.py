@@ -104,6 +104,12 @@ def main():
             for idx in sampler.epoch_batches(epoch):
                 yield collate([ds[i] for i in idx])
 
+        # held-out PLM loss/acc every eval_interval (train_ms_s1.py:288-295)
+        from megatts2_hierspeechpp_tpu.cli._evalsetup import make_eval_batch
+        from megatts2_hierspeechpp_tpu.train.evalhooks import make_s1_eval_fn
+
+        eval_fn = make_s1_eval_fn(ttv, plm, make_eval_batch(hps, fallback=first))
+
         steps_done = int(np.asarray(state.step))
         per_epoch = max(len(sampler.epoch_batches(0)), 1)
         run_training(
@@ -113,6 +119,8 @@ def main():
             save_interval=hps.train.save_interval,
             shard_fn=lambda b: shard_batch(mesh, b),
             start_epoch=steps_done // per_epoch,
+            eval_interval=hps.train.get("eval_interval", None),
+            eval_fn=eval_fn,
         )
 
 

@@ -110,6 +110,14 @@ def main():
             for idx in sampler.epoch_batches(epoch):
                 yield collate([ds[i] for i in idx])
 
+        # periodic eval on a held-out batch (reference evaluate() + TB
+        # images every eval_interval, train_ms.py:345-405)
+        from megatts2_hierspeechpp_tpu.cli._evalsetup import make_eval_batch
+        from megatts2_hierspeechpp_tpu.train.evalhooks import make_s2_eval_fn
+
+        eval_batch = make_eval_batch(hps, fallback=first)
+        eval_fn = make_s2_eval_fn(ttv, eval_batch)
+
         steps_done = int(np.asarray(state.step))
         per_epoch = max(len(sampler.epoch_batches(0)), 1)
         run_training(
@@ -119,6 +127,8 @@ def main():
             save_interval=hps.train.save_interval,
             shard_fn=lambda b: shard_batch(mesh, b),
             start_epoch=steps_done // per_epoch,
+            eval_interval=hps.train.get("eval_interval", None),
+            eval_fn=eval_fn,
         )
 
 

@@ -1,0 +1,101 @@
+"""Periodic-eval hooks for the training CLIs.
+
+The reference runs evaluate() + TensorBoard f0/spectrogram images every
+eval_interval (/root/reference/train_ms.py:345-405, utils.py:79-154). Here the
+hook renders PNGs into <model_dir>/eval/ and returns scalars that the loop
+prefixes with "eval/" into scalars.jsonl.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatts2_hierspeechpp_tpu.models.plm import ProsodyLM
+from megatts2_hierspeechpp_tpu.models.ttv import TTVModel
+from megatts2_hierspeechpp_tpu.utils.plotting import (
+    save_f0_plot,
+    save_spectrogram_plot,
+)
+
+
+def _masked_l1(pred, target, mask):
+    mask = mask.astype(pred.dtype)
+    return jnp.sum(jnp.abs(pred - target) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+
+
+def make_s2_eval_fn(ttv: TTVModel, eval_batch: Dict[str, np.ndarray],
+                    plot: bool = True) -> Callable:
+    """GT-duration inference on a fixed held-out batch: w2v L1 + lf0 L1
+    scalars and (optionally) gt/pred w2v spectrograms + f0 overlay PNGs —
+    the s2 analogue of the reference's evaluate() images."""
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    @jax.jit
+    def _run(params_g, vq):
+        w2v_pred, pred_lf0 = ttv.apply(
+            {"params": params_g, "vq": vq},
+            batch["x_ids"], batch["tone"], batch["language"],
+            batch["x_lengths"], batch["mel"], batch["mel_lengths"],
+            batch["dur"], batch["mrte_mel"], batch["mrte_mel_lengths"],
+            method=TTVModel.infer_gt_dur,
+        )
+        t = batch["w2v"].shape[1]
+        w2v_mask = (jnp.arange(t)[None] < batch["w2v_lengths"][:, None])
+        l1_w2v = _masked_l1(w2v_pred, batch["w2v"], w2v_mask[..., None])
+        tp = batch["pitch"].shape[1]
+        p_mask = (jnp.arange(tp)[None] < batch["pitch_lengths"][:, None])
+        lf0_t = jnp.log(batch["pitch"] + 1.0)
+        l1_lf0 = _masked_l1(pred_lf0, lf0_t, p_mask)
+        return w2v_pred, pred_lf0, l1_w2v, l1_lf0
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        w2v_pred, pred_lf0, l1_w2v, l1_lf0 = _run(state.params_g, state.vq)
+        scalars = {"w2v_l1": float(l1_w2v), "lf0_l1": float(l1_lf0)}
+        if plot:
+            out = os.path.join(model_dir, "eval")
+            n0 = int(eval_batch["w2v_lengths"][0])
+            save_spectrogram_plot(np.asarray(w2v_pred)[0, :n0],
+                                  os.path.join(out, f"w2v_pred_{step}.png"),
+                                  title=f"w2v pred @ step {step}")
+            save_spectrogram_plot(eval_batch["w2v"][0, :n0],
+                                  os.path.join(out, "w2v_gt.png"),
+                                  title="w2v ground truth")
+            p0 = int(eval_batch["pitch_lengths"][0])
+            f0_t = eval_batch["pitch"][0, :p0]
+            f0_p = np.exp(np.asarray(pred_lf0)[0, :p0]) - 1.0
+            save_f0_plot(f0_t, f0_p, os.path.join(out, f"f0_{step}.png"))
+        return scalars
+
+    return eval_fn
+
+
+def make_s1_eval_fn(ttv: TTVModel, plm: ProsodyLM,
+                    eval_batch: Dict[str, np.ndarray]) -> Callable:
+    """Held-out PLM CE loss + top-10 accuracy at fixed shapes (the s1
+    analogue of the reference's periodic eval, train_ms_s1.py:288-295)."""
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    @jax.jit
+    def _run(params_plm, ttv_vars):
+        x_frame, lr_codes = ttv.apply(
+            ttv_vars,
+            batch["x_ids"], batch["tone"], batch["language"],
+            batch["x_lengths"], batch["mel"], batch["mel_lengths"],
+            batch["dur"], batch["mrte_mel"], batch["mrte_mel_lengths"],
+            method=TTVModel.extract_tc_latent_code,
+        )
+        out = plm.apply({"params": params_plm}, x_frame, lr_codes,
+                        batch["mel_lengths"], deterministic=True)
+        return out["loss_log"], out["acc"]
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        loss, acc = _run(state.params_plm, state.ttv_vars)
+        return {"plm_loss": float(loss), "plm_acc_top10": float(acc)}
+
+    return eval_fn
