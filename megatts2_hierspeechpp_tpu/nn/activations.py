@@ -78,13 +78,14 @@ class AASnakeBeta(nn.Module):
         else:
             alpha_v, beta_v = alpha, beta
 
-        # Default: composed XLA path. Measured on v5e (BASELINE.md): the
-        # standalone Pallas kernel wins per-op, but as an opaque call boundary
-        # it blocks XLA's conv+elementwise cross-op fusion and loses ~20%
-        # end-to-end; opt in with MEGATTS_PALLAS=1.
+        # Default on TPU: the fused Pallas kernel. Measured on v5e with
+        # readback-honest timing (BASELINE.md): 2.1-2.2x per-AMPBlock at the
+        # C<=64 stages (the transposed-tile kernel packs full 128-lane vregs
+        # where the native (T, C<=64) layout wastes them) and 1.1-1.2x at
+        # C>=128. Opt out with MEGATTS_PALLAS=0.
         use_pallas = (
             jax.default_backend() == "tpu"
-            and os.environ.get("MEGATTS_PALLAS", "0") == "1"
+            and os.environ.get("MEGATTS_PALLAS", "1") != "0"
         )
         if use_pallas:
             return fused_aa_snakebeta(x, alpha_v, beta_v)

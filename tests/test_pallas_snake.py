@@ -22,7 +22,11 @@ def interpret_pallas(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", patched)
 
 
-@pytest.mark.parametrize("shape", [(1, 512, 16), (2, 1000, 32), (1, 700, 64)])
+@pytest.mark.parametrize(
+    "shape",
+    # C<=64 exercises the transposed-tile kernel, C=256 the classic one
+    [(1, 512, 16), (2, 1000, 32), (1, 700, 64), (1, 512, 256)],
+)
 def test_fused_matches_composed_interior(shape, interpret_pallas):
     b, t, c = shape
     rng = np.random.default_rng(0)
