@@ -83,9 +83,13 @@ def main():
         seed=hps.train.seed,
     )
 
+    # Compute dtype (params stay fp32); reference s1 trains under fp16
+    # autocast (train_ms_s1.py), bf16 is the TPU analog.
+    import jax.numpy as jnp
+    dtype = {"bf16": jnp.bfloat16, "fp32": None}[hps.train.get("dtype", "bf16")]
     ttv = TTVModel(n_vocab=text_frontend.N_VOCAB, n_tone=text_frontend.N_TONE,
-                   n_language=text_frontend.N_LANGUAGE)
-    plm = ProsodyLM()
+                   n_language=text_frontend.N_LANGUAGE, dtype=dtype)
+    plm = ProsodyLM(dtype=dtype)
     first = collate([ds[i] for i in sampler.epoch_batches(0)[0]])
     ttv_vars = load_s2_vars(args.s2_ckpt, ttv, first, hps)
 

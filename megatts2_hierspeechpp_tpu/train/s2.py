@@ -83,10 +83,28 @@ def make_train_step(ttv: TTVModel, disc: MultiResSpecDiscriminator, tx_g, tx_d,
         rng_fwd, rng_tf, rng_vq = jax.random.split(rng, 3)
         teacher_force = jax.random.uniform(rng_tf) <= 0.5
 
+        # ---- single generator forward, linearized for the later G pullback ----
+        # The reference holds one torch graph and reuses it for both the D step
+        # (detached) and the G step; re-tracing the forward twice here costs a
+        # full extra TTV forward per step, so instead we jax.vjp once and pull
+        # the G-loss cotangents back through the saved linearization.
+        def g_diff(params_g):
+            out, new_vq = g_forward(params_g, state.vq, batch, rng_fwd,
+                                    teacher_force, train_vq=True)
+            diff = {
+                "w2v_pred": out["w2v_pred"],
+                "l_length": out["l_length"],
+                "l_pitch": out["l_pitch"],
+                "commit_loss": out["commit_loss"],
+            }
+            return diff, (new_vq, out["y_mask"])
+
+        diff_out, g_vjp, (new_vq, y_mask) = jax.vjp(
+            g_diff, state.params_g, has_aux=True
+        )
+
         # ---- D step (generator output detached) ----
-        out_ng, _ = g_forward(state.params_g, state.vq, batch, rng_fwd,
-                              teacher_force, train_vq=False)
-        w2v_pred_const = jax.lax.stop_gradient(out_ng["w2v_pred"])
+        w2v_pred_const = jax.lax.stop_gradient(diff_out["w2v_pred"])
         w2v_real = jnp.swapaxes(batch["w2v"], 1, 2)  # (B, 1024, T)
         w2v_fake = jnp.swapaxes(w2v_pred_const, 1, 2)
 
@@ -104,25 +122,23 @@ def make_train_step(ttv: TTVModel, disc: MultiResSpecDiscriminator, tx_g, tx_d,
         upd_d, new_opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
         new_params_d = optax.apply_updates(state.params_d, upd_d)
 
-        # ---- G step against the updated D ----
-        def g_loss_fn(params_g):
-            out, new_vq = g_forward(params_g, state.vq, batch, rng_fwd,
-                                    teacher_force, train_vq=True)
-            w2v_pred = out["w2v_pred"]
+        # ---- G step against the updated D (cotangents through the saved vjp) ----
+        def g_loss_fn(diff):
+            w2v_pred = diff["w2v_pred"]
             dr, dg, fr, fg = disc.apply(
                 {"params": new_params_d, "spectral": new_spectral},
                 w2v_real, jnp.swapaxes(w2v_pred, 1, 2), update_u=False,
             )
-            mask_sum = jnp.sum(out["y_mask"])
-            loss_dur = out["l_length"].astype(jnp.float32) * 2.0
-            loss_pitch = out["l_pitch"].astype(jnp.float32)
+            mask_sum = jnp.sum(y_mask)
+            loss_dur = diff["l_length"].astype(jnp.float32) * 2.0
+            loss_pitch = diff["l_pitch"].astype(jnp.float32)
             mse = jnp.mean(jnp.square(batch["w2v"] - w2v_pred).astype(jnp.float32))
             l1 = jnp.mean(jnp.abs(batch["w2v"] - w2v_pred).astype(jnp.float32))
             l_w2v = mse * 1024.0 / mask_sum * c_mel
             l_w2v1 = l1 * 1024.0 / mask_sum * c_mel
             loss_fm = L.feature_loss(fr, fg)
             loss_gen, _ = L.generator_loss(dg)
-            commit = out["commit_loss"] * c_commit
+            commit = diff["commit_loss"] * c_commit
             total = (loss_dur + loss_pitch + l_w2v + l_w2v1 + loss_fm + loss_gen
                      + commit)
             metrics = {
@@ -131,11 +147,12 @@ def make_train_step(ttv: TTVModel, disc: MultiResSpecDiscriminator, tx_g, tx_d,
                 "loss/g/w2v_l1": l_w2v1, "loss/g/fm": loss_fm,
                 "loss/g/gen": loss_gen, "loss/g/commit": commit,
             }
-            return total, (new_vq, metrics)
+            return total, metrics
 
-        (loss_g, (new_vq, metrics)), grads_g = jax.value_and_grad(
+        (loss_g, metrics), grads_out = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.params_g)
+        )(diff_out)
+        (grads_g,) = g_vjp(grads_out)
         upd_g, new_opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         new_params_g = optax.apply_updates(state.params_g, upd_g)
 

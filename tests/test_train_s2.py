@@ -66,6 +66,42 @@ def test_s2_train_step_runs_on_mesh():
     assert float(jnp.sum(cs)) > 0
 
 
+@pytest.mark.slow
+def test_s2_train_step_bf16_compute():
+    """bf16 compute / fp32 params+opt islands: the CLI default (reference
+    trains fp16 AMP, train_ms.py:175). Params must stay fp32, losses must be
+    finite, and the G loss must track the fp32 step's to ~1e-1."""
+    ttv32 = TTVModel(n_vocab=40, n_tone=10, n_language=3, text_layers=1,
+                     mel_enc_layers=1, w2v_enc_layers=1, w2v_dec_layers=2)
+    ttv16 = TTVModel(n_vocab=40, n_tone=10, n_language=3, text_layers=1,
+                     mel_enc_layers=1, w2v_enc_layers=1, w2v_dec_layers=2,
+                     dtype=jnp.bfloat16)
+    disc32 = MultiResSpecDiscriminator()
+    disc16 = MultiResSpecDiscriminator(dtype=jnp.bfloat16)
+    tx_g = adamw(1e-4, steps_per_epoch=10)
+    tx_d = adamw(1e-4, steps_per_epoch=10)
+
+    batch = jax.tree.map(jnp.asarray, tiny_batch())
+    state = create_state(ttv32, disc32, tx_g, tx_d, jax.random.PRNGKey(0), batch)
+    for leaf in jax.tree_util.tree_leaves(state.params_g):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+
+    step16 = jax.jit(make_train_step(ttv16, disc16, tx_g, tx_d))
+    step32 = jax.jit(make_train_step(ttv32, disc32, tx_g, tx_d))
+    s16, m16 = step16(state, batch, jax.random.PRNGKey(1))
+    _, m32 = step32(state, batch, jax.random.PRNGKey(1))
+
+    for k, v in m16.items():
+        assert np.isfinite(float(v)), (k, float(v))
+        assert np.asarray(v).dtype == np.float32  # loss islands stay fp32
+    rel = abs(float(m16["loss/g/total"]) - float(m32["loss/g/total"])) / (
+        abs(float(m32["loss/g/total"])) + 1e-6)
+    assert rel < 0.1, (float(m16["loss/g/total"]), float(m32["loss/g/total"]))
+    # params updated and still fp32 after the bf16 step
+    for leaf in jax.tree_util.tree_leaves(s16.params_g):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+
+
 def test_kmeans_init_on_true_pre_vq_features():
     """CLI k-means init path: fit on the quantizer's actual inputs
     (plm_conv1 -> pool8 -> plm_conv2 at step-0 params), masked frames
