@@ -92,6 +92,9 @@ def main():
         rank=jax.process_index(), seed=hps.train.seed,
     )
 
+    # Compute dtype (params stay fp32) — bf16 default, the TPU analog of
+    # HiFi-GAN-style fp16 autocast training.
+    dtype = {"bf16": jnp.bfloat16, "fp32": None}[hps.train.get("dtype", "bf16")]
     voc = HierVocoder(
         spec_channels=hps.model.spec_channels,
         inter_channels=hps.model.inter_channels,
@@ -100,8 +103,9 @@ def main():
         upsample_rates=tuple(hps.model.upsample_rates),
         upsample_initial_channel=hps.model.upsample_initial_channel,
         upsample_kernel_sizes=tuple(hps.model.upsample_kernel_sizes),
+        dtype=dtype,
     )
-    disc = MultiPeriodDiscriminator()
+    disc = MultiPeriodDiscriminator(dtype=dtype)
     tx_g = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
                  lr_decay=hps.train.lr_decay, steps_per_epoch=1000)
     tx_d = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
@@ -118,6 +122,7 @@ def main():
             voc, disc, tx_g, tx_d,
             segment_frames=hps.train.get("segment_frames", 32),
             c_mel=hps.train.c_mel, c_kl=hps.train.get("c_kl", 1.0),
+            c_f0=hps.train.get("c_f0", 1.0),
         ))
 
         def batches(epoch):

@@ -12,7 +12,12 @@ standard hierarchical-VAE + GAN objective (HierSpeech++ / VITS family):
   - dual KL: flow(z_q) against the SF posterior prior (m_p, logs_p) and
     flow_l(flow(z_q)) against (m_l, logs_l), * c_kl;
   - MPD adversarial (LSGAN) + feature matching on the wav slices;
-  - MelDecoder 20-bin prosody distillation L1.
+  - MelDecoder 20-bin prosody distillation L1;
+  - excitation/f0 supervision: the SourceNetwork predictor head `e_`
+    (hierspeechpp_speechsynthesizer.py:307-308, exposed as the model's
+    f0_extraction output, :701-715) is regressed to log(1+f0) on the slice
+    window — same scale/L1 convention as the TTV pitch predictor
+    (t2w2v_transformer.py:869-873).
 """
 from __future__ import annotations
 
@@ -72,7 +77,7 @@ def create_state(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d,
 
 def make_train_step(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d,
                     segment_frames: int = 32, hop: int = 320,
-                    c_mel: float = 45.0, c_kl: float = 1.0,
+                    c_mel: float = 45.0, c_kl: float = 1.0, c_f0: float = 1.0,
                     sr: int = 16000, n_fft: int = 1280, n_mels: int = 80):
     def encode(params_g, batch, rngs):
         return voc.apply(
@@ -99,14 +104,14 @@ def make_train_step(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d
             # decode only the window: slice z_q, then source net + decoder
             out = encode(params_g, batch, rngs)
             z_sl = slice_frames(out["z_q"], starts, segment_frames)
-            wav_hat_sl, _ = voc.apply(
+            wav_hat_sl, e_sl = voc.apply(
                 {"params": params_g}, z_sl, out["g"],
                 method=HierVocoder.decode_slice,
             )
-            return out, wav_hat_sl
+            return out, wav_hat_sl, e_sl
 
         # ---- D step ----
-        _, wav_hat_sl = gen_slice(state.params_g)
+        _, wav_hat_sl, _ = gen_slice(state.params_g)
         wav_hat_const = jax.lax.stop_gradient(wav_hat_sl)
 
         def d_loss_fn(params_d):
@@ -119,12 +124,19 @@ def make_train_step(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d
         new_params_d = optax.apply_updates(state.params_d, upd_d)
 
         # ---- G step ----
+        # GT f0 on the same window (f0 is at 4x frame rate, 200 Hz)
+        f0_gt_sl = slice_frames(batch["f0"][..., None], starts * 4,
+                                segment_frames * 4)
+
         def g_loss_fn(params_g):
-            out, wav_hat_sl = gen_slice(params_g)
+            out, wav_hat_sl, e_sl = gen_slice(params_g)
             dr, dg, fr, fg = disc.apply(
                 {"params": new_params_d}, wav_gt_sl, wav_hat_sl
             )
             loss_mel = jnp.mean(jnp.abs(mel_of(wav_hat_sl) - mel_of(wav_gt_sl)))
+            # excitation/f0 supervision on the SourceNetwork predictor head
+            lf0_gt = jnp.log1p(f0_gt_sl.astype(jnp.float32))
+            loss_f0 = jnp.mean(jnp.abs(e_sl.astype(jnp.float32) - lf0_gt))
             kl1 = L.kl_loss(out["z_f"], out["logs_q"], out["m_p"], out["logs_p"],
                             batch["mask"])
             kl2 = L.kl_loss(out["z_fl"], out["logs_q"], out["m_l"], out["logs_l"],
@@ -134,12 +146,12 @@ def make_train_step(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d
             loss_fm = L.feature_loss(fr, fg)
             loss_gen, _ = L.generator_loss(dg)
             total = (loss_mel * c_mel + (kl1 + kl2) * c_kl + loss_fm + loss_gen
-                     + loss_prosody)
+                     + loss_prosody + loss_f0 * c_f0)
             return total, {
                 "loss/g/total": total, "loss/g/mel": loss_mel,
                 "loss/g/kl1": kl1, "loss/g/kl2": kl2,
                 "loss/g/fm": loss_fm, "loss/g/gen": loss_gen,
-                "loss/g/prosody": loss_prosody,
+                "loss/g/prosody": loss_prosody, "loss/g/f0": loss_f0,
             }
 
         (loss_g, metrics), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(

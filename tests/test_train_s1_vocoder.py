@@ -72,3 +72,5 @@ def test_vocoder_train_step_runs():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(state.step) == 1
+    # excitation/f0 supervision is wired (SourceNetwork predictor head e_)
+    assert "loss/g/f0" in metrics and float(metrics["loss/g/f0"]) > 0
