@@ -24,8 +24,14 @@ class Text2SemanticDataset:
         min_ps_ratio: float = 3.0,
         max_ps_ratio: float = 25.0,
         pad_id: int = 0,
+        bert_dir: str | None = None,
     ):
+        """bert_dir: optional `3-bert/` sidecar dir (cli/prepare_text.py);
+        per-item (n_phones, 1024) features are loaded lazily in __getitem__
+        and zero-filled by collate when absent — the reference's default
+        (AR/data/dataset.py:249)."""
         self.pad_id = pad_id
+        self.bert_dir = bert_dir
         name2text = {}
         with open(phoneme_path, encoding="utf-8") as f:
             for line in f:
@@ -60,7 +66,16 @@ class Text2SemanticDataset:
         return [len(it["semantic"]) for it in self.items]
 
     def __getitem__(self, idx: int) -> Dict:
-        return self.items[idx]
+        item = self.items[idx]
+        if self.bert_dir is not None and "bert" not in item:
+            path = f"{self.bert_dir}/{item['name']}.npy"
+            try:
+                feats = np.load(path).astype(np.float32)
+                if feats.shape[0] == len(item["phones"]):
+                    item["bert"] = feats
+            except FileNotFoundError:
+                pass
+        return item
 
 
 def collate(batch: Sequence[Dict], bert_dim: int = 1024,
@@ -83,4 +98,6 @@ def collate(batch: Sequence[Dict], bert_dim: int = 1024,
         out["x_lens"][i] = len(d["phones"])
         out["y_ids"][i, : len(d["semantic"])] = d["semantic"]
         out["y_lens"][i] = len(d["semantic"])
+        if "bert" in d:
+            out["bert_feature"][i, : d["bert"].shape[0]] = d["bert"]
     return out

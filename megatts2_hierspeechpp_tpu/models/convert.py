@@ -445,6 +445,59 @@ def convert_wav2vec2(sd, output_layer: int = 7, pos_kernel: int = 128) -> dict:
     return params
 
 
+def convert_hubert(sd, n_layers: int = 12) -> dict:
+    """HF HubertModel (group-norm feat-extract, post-norm encoder — the
+    cnhubert/chinese-hubert-base family) state_dict -> Hubert params."""
+    import numpy as np
+
+    pfx = "hubert." if any(k.startswith("hubert.") for k in sd) else ""
+
+    fe = {"gn_0": {
+        "scale": cr._np(sd, f"{pfx}feature_extractor.conv_layers.0.layer_norm.weight"),
+        "bias": cr._np(sd, f"{pfx}feature_extractor.conv_layers.0.layer_norm.bias"),
+    }}
+    for i in range(7):
+        w = cr._np(sd, f"{pfx}feature_extractor.conv_layers.{i}.conv.weight")
+        fe[f"conv_{i}"] = {"kernel": cr.tc.conv1d_kernel(w)}
+
+    params = {
+        "feature_extractor": fe,
+        "fp_ln": cr.layer_norm(sd, f"{pfx}feature_projection.layer_norm"),
+        "fp_proj": cr.dense(sd, f"{pfx}feature_projection.projection"),
+        "enc_ln": cr.layer_norm(sd, f"{pfx}encoder.layer_norm"),
+    }
+
+    base = f"{pfx}encoder.pos_conv_embed.conv"
+    if f"{base}.weight_g" in sd:
+        g = cr._np(sd, f"{base}.weight_g")
+        v = cr._np(sd, f"{base}.weight_v")
+    else:
+        g = cr._np(sd, f"{base}.parametrizations.weight.original0")
+        v = cr._np(sd, f"{base}.parametrizations.weight.original1")
+    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / norm
+    params["pos_conv"] = {
+        "kernel": cr.tc.conv1d_kernel(w),
+        "bias": cr._np(sd, f"{base}.bias"),
+    }
+
+    for i in range(n_layers):
+        base = f"{pfx}encoder.layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn": {
+                "q_proj": cr.dense(sd, f"{base}.attention.q_proj"),
+                "k_proj": cr.dense(sd, f"{base}.attention.k_proj"),
+                "v_proj": cr.dense(sd, f"{base}.attention.v_proj"),
+                "out_proj": cr.dense(sd, f"{base}.attention.out_proj"),
+            },
+            "attn_ln": cr.layer_norm(sd, f"{base}.layer_norm"),
+            "ff1": cr.dense(sd, f"{base}.feed_forward.intermediate_dense"),
+            "ff2": cr.dense(sd, f"{base}.feed_forward.output_dense"),
+            "ffn_ln": cr.layer_norm(sd, f"{base}.final_layer_norm"),
+        }
+    return params
+
+
 def t2s_layer(sd, p) -> dict:
     return {
         "in_proj_weight": cr._np(sd, _j(p, "self_attn.in_proj_weight")),

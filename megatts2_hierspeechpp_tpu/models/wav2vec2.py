@@ -120,3 +120,93 @@ class Wav2Vec2(nn.Module):
                 name=f"layer_{i}",
             )(y)
         return y
+
+
+class GroupNormConvFeatureExtractor(nn.Module):
+    """7 conv blocks, group-norm variant (HF *base* SSL models: conv_bias
+    False, per-channel GroupNorm on block 0 only, all blocks gelu)."""
+
+    conv_dim: Sequence[int] = (512,) * 7
+    kernels: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    strides: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T) waveform -> (B, T', conv_dim[-1])."""
+        y = x[:, :, None]
+        for i, (c, k, s) in enumerate(zip(self.conv_dim, self.kernels, self.strides)):
+            y = Conv1d(c, k, stride=s, use_bias=False, dtype=self.dtype,
+                       name=f"conv_{i}")(y)
+            if i == 0:
+                # HF GroupNorm(groups=C, channels=C): per-channel over time
+                y = nn.GroupNorm(num_groups=c, epsilon=1e-5, name="gn_0")(y)
+            y = jax.nn.gelu(y, approximate=False)
+        return y
+
+
+class HubertEncoderLayer(nn.Module):
+    """Post-norm transformer layer (do_stable_layer_norm=False variant)."""
+
+    dim: int
+    n_heads: int
+    ffn_dim: int
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = LayerNorm(name="attn_ln")(
+            x + W2VAttention(self.dim, self.n_heads, dtype=self.dtype,
+                             name="attn")(x)
+        )
+        y = Dense(self.ffn_dim, dtype=self.dtype, name="ff1")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = Dense(self.dim, dtype=self.dtype, name="ff2")(y)
+        return LayerNorm(name="ffn_ln")(x + y)
+
+
+class Hubert(nn.Module):
+    """HF HubertModel *base* variant (e.g. TencentGameMate/chinese-hubert-base,
+    the `feature_extractor/cnhubert.py` model GPT-SoVITS' dataset stage 2
+    expects — absent from the reference repo, making
+    /root/reference/prepare_datasets/2-get-hubert-wav2k.py dead code there).
+
+    Differences from Wav2Vec2 above (the mms-300m *large* variant):
+    group-norm conv extractor (first block only, no conv bias), post-norm
+    encoder layers, and the encoder LayerNorm applied after the positional
+    convolution *before* the layer stack. Inference-only; returns
+    last_hidden_state at 50 Hz."""
+
+    hidden_size: int = 768
+    n_heads: int = 12
+    ffn_dim: int = 3072
+    n_layers: int = 12
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    conv_dim: tuple = (512,) * 7
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T) raw 16 kHz waveform -> (B, T/320, hidden)."""
+        feats = GroupNormConvFeatureExtractor(conv_dim=self.conv_dim,
+                                              dtype=self.dtype,
+                                              name="feature_extractor")(x)
+        y = LayerNorm(name="fp_ln")(feats)
+        y = Dense(self.hidden_size, dtype=self.dtype, name="fp_proj")(y)
+
+        pos = Conv1d(
+            self.hidden_size, self.pos_conv_kernel, padding=self.pos_conv_kernel // 2,
+            groups=self.pos_conv_groups, dtype=self.dtype, name="pos_conv",
+        )(y)
+        if self.pos_conv_kernel % 2 == 0:  # HF SamePadLayer drops the last frame
+            pos = pos[:, :-1]
+        pos = jax.nn.gelu(pos, approximate=False)
+        y = LayerNorm(name="enc_ln")(y + pos)
+
+        for i in range(self.n_layers):
+            y = HubertEncoderLayer(
+                self.hidden_size, self.n_heads, self.ffn_dim, dtype=self.dtype,
+                name=f"layer_{i}",
+            )(y)
+        return y
