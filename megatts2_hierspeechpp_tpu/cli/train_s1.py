@@ -90,7 +90,12 @@ def main():
     ttv = TTVModel(n_vocab=text_frontend.N_VOCAB, n_tone=text_frontend.N_TONE,
                    n_language=text_frontend.N_LANGUAGE, dtype=dtype)
     plm = ProsodyLM(dtype=dtype)
-    first = collate([ds[i] for i in sampler.epoch_batches(0)[0]])
+    # coarse frame buckets (see train_s2.py): bound the per-run compile count
+    from functools import partial
+    pad = int(hps.train.get("pad_multiple", 64))
+    collate_fn = partial(collate, pad_multiple=pad)
+
+    first = collate_fn([ds[i] for i in sampler.epoch_batches(0)[0]])
     ttv_vars = load_s2_vars(args.s2_ckpt, ttv, first, hps)
 
     tx = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
@@ -106,7 +111,7 @@ def main():
 
         def batches(epoch):
             for idx in sampler.epoch_batches(epoch):
-                yield collate([ds[i] for i in idx])
+                yield collate_fn([ds[i] for i in idx])
 
         # held-out PLM loss/acc every eval_interval (train_ms_s1.py:288-295)
         from megatts2_hierspeechpp_tpu.cli._evalsetup import make_eval_batch

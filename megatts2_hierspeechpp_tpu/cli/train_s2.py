@@ -81,7 +81,14 @@ def main():
     tx_d = adamw(hps.train.learning_rate, tuple(hps.train.betas), hps.train.eps,
                  lr_decay=hps.train.lr_decay, steps_per_epoch=steps_per_epoch)
 
-    first = collate([ds[i] for i in sampler.epoch_batches(0)[0]])
+    # coarse frame buckets: each distinct padded shape is a separate XLA
+    # compile, so CLI collation rounds frame dims to pad_multiple (64 ~= 1.28 s
+    # of padding worst-case) to keep the compile count to a handful per run
+    from functools import partial
+    pad = int(hps.train.get("pad_multiple", 64))
+    collate_fn = partial(collate, pad_multiple=pad)
+
+    first = collate_fn([ds[i] for i in sampler.epoch_batches(0)[0]])
     with mesh:
         state = create_state(ttv, disc, tx_g, tx_d, jax.random.PRNGKey(hps.train.seed), first)
 
@@ -114,7 +121,7 @@ def main():
 
         def batches(epoch):
             for idx in sampler.epoch_batches(epoch):
-                yield collate([ds[i] for i in idx])
+                yield collate_fn([ds[i] for i in idx])
 
         # periodic eval on a held-out batch (reference evaluate() + TB
         # images every eval_interval, train_ms.py:345-405)

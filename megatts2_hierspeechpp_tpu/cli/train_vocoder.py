@@ -32,8 +32,9 @@ from megatts2_hierspeechpp_tpu.train.optim import adamw
 from megatts2_hierspeechpp_tpu.utils.config import load_hparams, save_hparams
 
 
-def vocoder_batch(ds: SidecarDataset, idxs, hop=320):
-    """Collate (spec, audio, mel, w2v, f0, mask, lengths) for the vocoder."""
+def vocoder_batch(ds: SidecarDataset, idxs, hop=320, pad_multiple=64):
+    """Collate (spec, audio, mel, w2v, f0, mask, lengths) for the vocoder.
+    Frame dim rounds up to pad_multiple to bound the XLA compile count."""
     from scipy.io import wavfile
 
     items = [ds[i] for i in idxs]
@@ -42,6 +43,7 @@ def vocoder_batch(ds: SidecarDataset, idxs, hop=320):
         sr, data = wavfile.read(ds.items[i][0])
         wavs.append(data.astype(np.float32) / 32768.0)
     t_max = max(it["w2v"].shape[0] for it in items)
+    t_max = ((t_max + pad_multiple - 1) // pad_multiple) * pad_multiple
     b = len(items)
     batch = {
         "audio": np.zeros((b, hop * t_max), np.float32),

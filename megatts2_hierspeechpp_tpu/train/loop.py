@@ -109,15 +109,19 @@ def run_training(
     """Generic loop; `batch_iter_fn(epoch)` yields collated numpy batches."""
     logger = ScalarLogger(model_dir)
     _stamp_git_provenance(model_dir)
-    rng = jax.random.PRNGKey(seed)
+    base_rng = jax.random.PRNGKey(seed)
     step = int(np.asarray(state.step))
     t_last = time.time()
 
     for epoch in range(start_epoch, epochs):
-        for batch in prefetch(batch_iter_fn(epoch)):
+        # per-step rng derived from (epoch, index): a crash-restart resumed at
+        # an epoch boundary replays the identical rng stream (the reference's
+        # DataLoader epoch seeding has the same property, data_utils.py:560)
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
+        for i, batch in enumerate(prefetch(batch_iter_fn(epoch))):
             if shard_fn is not None:
                 batch = shard_fn(batch)
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(epoch_rng, i)
             state, metrics = train_step(state, batch, sub)
             step += 1
             if step % log_interval == 0:
