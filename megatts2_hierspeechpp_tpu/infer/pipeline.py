@@ -185,6 +185,64 @@ class TTSPipeline:
 
             # w2v/f0 are per-request intermediates: donate their buffers
             fn = jax.jit(_vocode, donate_argnums=(1, 4))
+        elif name == "vocode_latent":
+            def _vocode_latent(voc_params, w2v, mask, mel_pair, f0, noise_scale,
+                               rng, denoise_ratio):
+                trg_mask = jnp.ones(
+                    (mel_pair.shape[0], mel_pair.shape[1], 1), jnp.float32
+                )
+                return self.vocoder.apply(
+                    voc_params, w2v, mask, mel_pair, trg_mask, f0,
+                    noise_scale, rng, denoise_ratio,
+                    method=HierVocoder.vc_latent,
+                )
+
+            fn = jax.jit(_vocode_latent, donate_argnums=(1, 4))
+        elif name.startswith("vocode_dec:"):
+            # Streaming decoder chunk executables. Boundary alignment is what
+            # makes streamed == full decode: a zero-INPUT halo is not the same
+            # as the full decode's per-layer zero padding (conv biases + the
+            # global style conditioning make padded activations nonzero), so
+            # the first/last chunks carry no outer halo — their array edge IS
+            # the sequence edge, and XLA's layer padding reproduces the
+            # monolithic decode bit-for-structure. Interior halos read real z,
+            # so with halo >= the Generator's receptive field the kept centers
+            # match to float accumulation.
+            _, kind, chunk_s, halo_s = name.split(":")
+            chunk, halo = int(chunk_s), int(halo_s)
+
+            if kind == "first":  # z[:, :chunk+halo] -> keep [:320*chunk]
+                def _dec_first(voc_params, z, e, g):
+                    wav = self.vocoder.apply(
+                        voc_params, z, e, g, method=HierVocoder.decode_latent)
+                    return wav[:, : 320 * chunk]
+
+                fn = jax.jit(_dec_first)
+            elif kind == "full":  # whole z in one call (short utterance)
+                def _dec_full(voc_params, z, e, g):
+                    return self.vocoder.apply(
+                        voc_params, z, e, g, method=HierVocoder.decode_latent)
+
+                fn = jax.jit(_dec_full)
+            elif kind == "mid":  # slice [start-halo, start+chunk+halo)
+                def _dec_mid(voc_params, z, e, g, start):
+                    t = chunk + 2 * halo
+                    zc = jax.lax.dynamic_slice(
+                        z, (0, start - halo, 0), (1, t, z.shape[2]))
+                    ec = jax.lax.dynamic_slice(
+                        e, (0, 4 * (start - halo), 0), (1, 4 * t, e.shape[2]))
+                    wav = self.vocoder.apply(
+                        voc_params, zc, ec, g, method=HierVocoder.decode_latent)
+                    return wav[:, 320 * halo: 320 * (halo + chunk)]
+
+                fn = jax.jit(_dec_mid)
+            else:  # "last": z[:, -(chunk+halo):] -> keep [320*halo:]
+                def _dec_last(voc_params, z, e, g):
+                    wav = self.vocoder.apply(
+                        voc_params, z, e, g, method=HierVocoder.decode_latent)
+                    return wav[:, 320 * halo:]
+
+                fn = jax.jit(_dec_last)
         elif name == "sr":
             def _sr(sr_params, wav):  # wav: (B, T, 1)
                 return self.speechsr.apply({"params": sr_params}, wav)
@@ -315,6 +373,121 @@ class TTSPipeline:
                 frame_lengths=t_frames,
             )
         return out
+
+    def tts_stream(
+        self,
+        text: str,
+        prompt_audio: Optional[np.ndarray] = None,
+        denoise_ratio: float = 0.0,
+        noise_scale_vc: float = 0.333,
+        length_scale: float = 1.0,
+        seed: int = 1234,
+        top_k: int = 0,
+        use_plm: bool = True,
+        prompt: Optional[PromptFeatures] = None,
+        chunk_frames: int = 200,
+        halo_frames: int = 32,
+    ):
+        """Streaming TTS: yields 16 kHz float32 wav chunks (4 s of audio per
+        chunk at the default) as the vocoder decodes them.
+
+        The vocoder is split at the Generator boundary (HierVocoder.vc_latent /
+        decode_latent): style, the DiT flows (full-sequence attention) and the
+        SourceNetwork run once over the whole utterance; the purely
+        convolutional BigVGAN Generator then decodes overlapping chunks with a
+        `halo_frames` halo on each side, whose outputs are discarded. The halo
+        covers the Generator's receptive field, so the concatenated stream
+        matches the non-streaming tts() output except for float accumulation
+        at chunk edges (pinned by tests/test_stream.py). Chunks are raw tanh
+        output (|x| <= 1), NOT peak-normalized — global peak is unknowable
+        mid-stream. 16 kHz only; SR'd streaming would need one-chunk
+        lookahead (not implemented).
+
+        Reference equivalent: none (the reference's tts() is monolithic,
+        inference_plm.py:103-201); this is a serving capability addition.
+        """
+        if prompt is None:
+            assert prompt_audio is not None, "need prompt_audio or prompt features"
+            prompt = self.prepare_prompt(prompt_audio, denoise_ratio)
+
+        ids, tones, langs = text_frontend.process_text(text)
+        n = len(ids)
+        n_pad = _bucket_text(n)
+        x_ids = np.zeros((1, n_pad), np.int32)
+        tone = np.zeros((1, n_pad), np.int32)
+        lang = np.zeros((1, n_pad), np.int32)
+        x_ids[0, :n], tone[0, :n], lang[0, :n] = ids, tones, langs
+        x_len = jnp.asarray([n], jnp.int32)
+        mel_len = jnp.asarray([prompt.mel_ttv.shape[1]], jnp.int32)
+        out_budget = _bucket(int(n * 40 * length_scale))
+
+        mode = "plm" if use_plm else "prompt"
+        given = jnp.zeros((1, 1), jnp.int32)
+        w2v_pred, pred_lf0, frame_lengths, frame_mask, _, _ = self._stage(
+            "acoustic"
+        )(
+            self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
+            jnp.asarray(tone), jnp.asarray(lang), x_len,
+            prompt.mel_ttv, mel_len,
+            jnp.float32(length_scale), jax.random.PRNGKey(seed), given,
+            out_budget=out_budget, top_k=top_k, mode=mode,
+        )
+        t_frames = int(jax.device_get(frame_lengths)[0])
+        t_voc = _bucket(t_frames)
+
+        z, e, g = self._stage("vocode_latent")(
+            self.vocoder_params,
+            w2v_pred[:, :t_voc],
+            frame_mask[:, :t_voc],
+            prompt.mel_pair,
+            pred_lf0[:, : 4 * t_voc, None],
+            jnp.float32(noise_scale_vc),
+            jax.random.PRNGKey(seed + 1),
+            jnp.float32(denoise_ratio),
+        )
+
+        # Decode the full t_voc grid in segments. Plan: chunk 0 ("first") and
+        # the tail ("last") are edge-aligned; interior chunks need their full
+        # [start-h, start+ck+h) window inside [0, t_voc) (dynamic_slice would
+        # silently clamp an overrun), so the tail segment absorbs up to
+        # ck+h-1 extra frames. All interior chunks share ONE executable with
+        # a traced start offset.
+        ck, h = chunk_frames, halo_frames
+        assert ck >= h, "chunk_frames must be >= halo_frames (interior slices)"
+        if t_voc <= ck + h:
+            segments = [("full", 0, t_voc)]
+        else:
+            s = ck
+            starts = []
+            while s + ck + h <= t_voc:
+                starts.append(s)
+                s += ck
+            segments = ([("first", 0, ck)]
+                        + [("mid", x, ck) for x in starts]
+                        + [("last", s, t_voc - s)])
+
+        emitted = 0
+        for kind, start, length in segments:
+            if kind == "full":
+                dec = self._stage(f"vocode_dec:full:{ck}:{h}")
+                out = dec(self.vocoder_params, z, e, g)
+            elif kind == "first":
+                dec = self._stage(f"vocode_dec:first:{ck}:{h}")
+                out = dec(self.vocoder_params, z[:, : ck + h],
+                          e[:, : 4 * (ck + h)], g)
+            elif kind == "mid":
+                dec = self._stage(f"vocode_dec:mid:{ck}:{h}")
+                out = dec(self.vocoder_params, z, e, g, jnp.int32(start))
+            else:  # last
+                dec = self._stage(f"vocode_dec:last:{length}:{h}")
+                out = dec(self.vocoder_params, z[:, start - h:],
+                          e[:, 4 * (start - h):], g)
+            chunk = np.asarray(out)[0, :, 0]
+            take = min(len(chunk), 320 * t_frames - emitted)
+            if take <= 0:
+                break
+            emitted += take
+            yield chunk[:take].astype(np.float32)
 
     def tts_batch(
         self,

@@ -367,12 +367,15 @@ class HierVocoder(nn.Module):
     def infer(self, x_mel, w2v, x_mask, f0, rng=None):
         return self(x_mel, w2v, x_mask, f0, rng=rng)
 
-    def voice_conversion(
+    def vc_latent(
         self, src_w2v, src_mask, trg_mel, trg_mask, f0, noise_scale=0.333, rng=None,
         denoise_ratio: float = 0.0,
     ):
-        """Reference voice_conversion_noise_control (:674-699): style from a
-        2-row mel batch [orig; denoised], interpolated by denoise_ratio."""
+        """Frame-level half of voice_conversion: everything whose context is
+        global (style, DiT flows with full-sequence attention, SourceNetwork).
+        Returns (z, e, g) for the purely-convolutional Generator, which can
+        then be decoded in overlapping chunks (streaming serving path,
+        TTSPipeline.tts_stream)."""
         g_all = self.emb_g(trg_mel, trg_mask)  # (2, C) or (B, C)
         if g_all.shape[0] > 1:
             g = (1 - denoise_ratio) * g_all[:1] + denoise_ratio * g_all[1:2]
@@ -391,6 +394,23 @@ class HierVocoder(nn.Module):
         z = self.flow_l(z, src_mask, g, reverse=True)
         z = self.flow(z, src_mask, g, reverse=True)
         e, _ = self.sn(z, g)
+        return z, e, g
+
+    def decode_latent(self, z, e, g):
+        """Generator-only decode of vc_latent outputs (finite receptive
+        field -> valid on overlapping chunks)."""
+        return self.dec(z, e, g=g)
+
+    def voice_conversion(
+        self, src_w2v, src_mask, trg_mel, trg_mask, f0, noise_scale=0.333, rng=None,
+        denoise_ratio: float = 0.0,
+    ):
+        """Reference voice_conversion_noise_control (:674-699): style from a
+        2-row mel batch [orig; denoised], interpolated by denoise_ratio."""
+        z, e, g = self.vc_latent(
+            src_w2v, src_mask, trg_mel, trg_mask, f0, noise_scale, rng,
+            denoise_ratio,
+        )
         return self.dec(z, e, g=g)
 
     def f0_extraction(self, x_spec, x_mel, x_mask, x_audio, noise_scale=0.333, rng=None):

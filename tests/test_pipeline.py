@@ -126,6 +126,34 @@ def test_tts_batch(pipeline):
 
 
 @pytest.mark.slow
+def test_tts_stream_matches_full(pipeline):
+    """Streamed chunks concatenate to the non-streaming tts() output: the
+    Generator-only chunking (vc_latent/decode_latent split) with a halo
+    covering its receptive field reproduces the monolithic decode up to float
+    accumulation at chunk edges."""
+    prompt = (np.random.default_rng(6).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    pf = pipeline.prepare_prompt(prompt)
+    text = "sil zh ang1 h ao3 n in2 h ao3 sp"
+    full = pipeline.tts(text, prompt=pf, seed=11, output_sr=16000,
+                        length_scale=3.0)
+
+    chunks = list(pipeline.tts_stream(text, prompt=pf, seed=11, length_scale=3.0,
+                                      chunk_frames=16, halo_frames=16))
+    assert len(chunks) >= 2, "want a multi-chunk stream for this test"
+    wav = np.concatenate(chunks)
+    assert len(wav) == len(full)
+    # tts() peak-normalizes; apply the same gain to the streamed concat
+    wavn = (wav / max(np.abs(wav).max(), 1e-8) * 0.999).astype(np.float32)
+    assert np.abs(wavn - full).max() < 1e-5, np.abs(wavn - full).max()
+
+    # serving contract: every chunk of every request shares ONE executable
+    assert pipeline.jit_stats()["vocode_dec:mid:16:16"] == 1
+    list(pipeline.tts_stream(text, prompt=pf, seed=12, length_scale=3.0,
+                             chunk_frames=16, halo_frames=16))
+    assert pipeline.jit_stats()["vocode_dec:mid:16:16"] == 1
+
+
+@pytest.mark.slow
 def test_tts_without_plm(pipeline):
     prompt = (np.random.default_rng(3).uniform(-0.3, 0.3, 32000)).astype(np.float32)
     wav = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, use_plm=False)
