@@ -184,24 +184,12 @@ def _kernel_tr(x_prev, x_cur, x_next, ab_ref, o_ref, *, tile_t, n_ch):
     o_ref[0] = y.T.astype(o_ref.dtype)
 
 
-def fused_aa_snakebeta(
-    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
-    tile_t: int = TILE_T,
-) -> jnp.ndarray:
-    """x: (B, T, C); alpha/beta: (C,) post-exp. Pallas path (TPU)."""
+def _pallas_forward(x, alpha, beta, tile_t):
+    """Divisible-tile Pallas dispatch (t % tile_t == 0)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, c = x.shape
-    # VMEM budget: ~10 live (tile, C) f32 buffers (3 in blocks + concat +
-    # ue/uo/se/so + out) must fit the 16 MB scoped limit; the small-C
-    # transpose staging pads C up to 128 lanes, so budget with c >= 128
-    tile_t = _pick_tile(t, min(tile_t, 262144 // max(c, 128)))
-    if t % tile_t != 0:
-        # rare non-divisible case: pad once to a tile multiple
-        t_pad = (-(-t // tile_t)) * tile_t
-        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
-        return fused_aa_snakebeta(xp, alpha, beta, tile_t)[:, :t]
     n_tiles = t // tile_t
 
     ab = jnp.stack(
@@ -230,3 +218,56 @@ def fused_aa_snakebeta(
         out_specs=block(lambda i, j: (i, j, 0)),
     )(x, x, x, ab)
     return out
+
+
+def _composed_math(x, alpha, beta):
+    """The XLA-composed reference math (activations.py fallback path): the
+    Pallas kernel computes the identical function, so this vjp IS the
+    kernel's gradient (tests/test_pallas_snake.py pins fwd agreement and
+    grad agreement)."""
+    from megatts2_hierspeechpp_tpu.ops.resample import activation1d
+
+    a = alpha.astype(x.dtype)
+    b = beta.astype(x.dtype)
+    return activation1d(x, lambda v: v + jnp.square(jnp.sin(v * a)) / (b + 1e-9))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused(x, alpha, beta, tile_t):
+    return _pallas_forward(x, alpha, beta, tile_t)
+
+
+def _fused_fwd(x, alpha, beta, tile_t):
+    return _pallas_forward(x, alpha, beta, tile_t), (x, alpha, beta)
+
+
+def _fused_bwd(tile_t, res, ct):
+    # pallas_call has no autodiff rule; differentiate the composed math at
+    # the saved primals instead (trainers hit this: AMPBlock backward)
+    x, alpha, beta = res
+    _, vjp = jax.vjp(_composed_math, x, alpha, beta)
+    return vjp(ct)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_aa_snakebeta(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+    tile_t: int = TILE_T,
+) -> jnp.ndarray:
+    """x: (B, T, C); alpha/beta: (C,) post-exp. Pallas path (TPU).
+
+    Differentiable: forward runs the fused kernel, backward is the vjp of the
+    equivalent composed math (custom_vjp)."""
+    b, t, c = x.shape
+    # VMEM budget: ~10 live (tile, C) f32 buffers (3 in blocks + concat +
+    # ue/uo/se/so + out) must fit the 16 MB scoped limit; the small-C
+    # transpose staging pads C up to 128 lanes, so budget with c >= 128
+    tile_t = _pick_tile(t, min(tile_t, 262144 // max(c, 128)))
+    if t % tile_t != 0:
+        # rare non-divisible case: pad once to a tile multiple
+        t_pad = (-(-t // tile_t)) * tile_t
+        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
+        return _fused(xp, alpha, beta, tile_t)[:, :t]
+    return _fused(x, alpha, beta, tile_t)

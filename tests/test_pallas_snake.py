@@ -44,3 +44,30 @@ def test_fused_matches_composed_interior(shape, interpret_pallas):
     # op replicates x once — inaudible utterance-boundary difference
     assert d[:, 4:-4, :].max() < 5e-6, d[:, 4:-4, :].max()
     assert d.max() < 5e-2
+
+
+@pytest.mark.parametrize("shape", [(1, 512, 16), (1, 512, 256)])
+def test_fused_gradients_match_composed(shape, interpret_pallas):
+    """Trainers differentiate through AMPBlock activations: the custom_vjp
+    (Pallas fwd, composed-math bwd) must give the composed path's gradients
+    for x, alpha AND beta (alpha/beta are learned parameters)."""
+    b, t, c = shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    alpha = jnp.asarray(np.exp(rng.standard_normal(c) * 0.3), jnp.float32)
+    beta = jnp.asarray(np.exp(rng.standard_normal(c) * 0.3), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss_fused(x, a, bt):
+        return jnp.sum(w * psn.fused_aa_snakebeta(x, a, bt))
+
+    def loss_composed(x, a, bt):
+        y = activation1d(x, lambda v: v + jnp.square(jnp.sin(v * a)) / (bt + 1e-9))
+        return jnp.sum(w * y)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, alpha, beta)
+    gc = jax.grad(loss_composed, argnums=(0, 1, 2))(x, alpha, beta)
+    for name, a_, b_ in zip(("x", "alpha", "beta"), gf, gc):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
+            err_msg=f"grad wrt {name}")
