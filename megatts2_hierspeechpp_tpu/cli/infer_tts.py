@@ -65,6 +65,11 @@ def main():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--batch", type=int, default=1,
                    help="batch N texts per device call (16 kHz output only)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream each utterance to disk chunk-by-chunk as the "
+                        "vocoder decodes it (16 kHz only; raw gain, no peak "
+                        "normalization)")
+    p.add_argument("--stream_chunk_frames", type=int, default=200)
     args = p.parse_args()
 
     from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
@@ -88,6 +93,25 @@ def main():
         denoise_ratio=args.denoise_ratio, noise_scale_vc=args.noise_scale_vc,
         length_scale=args.length_scale, seed=args.seed, top_k=args.top_k,
     )
+    if args.stream and args.output_sr == 16000:
+        import time
+
+        for i, text in enumerate(lines):
+            path = os.path.join(args.output_dir, f"{i:03d}.wav")
+            t0 = time.perf_counter()
+            parts, t_first = [], None
+            for chunk in pipe.tts_stream(
+                text, prompt=feats,
+                chunk_frames=args.stream_chunk_frames, **kw
+            ):
+                if t_first is None:
+                    t_first = time.perf_counter() - t0
+                parts.append(chunk)
+            wav = np.concatenate(parts)
+            wavfile.write(path, 16000, (wav * 32767.0).astype(np.int16))
+            print(f"{path}  first-chunk {t_first*1e3:.0f} ms "
+                  f"({len(parts)} chunks, {len(wav)/16000.0:.1f} s)")
+        return
     if args.batch > 1 and args.output_sr == 16000:
         for i0 in range(0, len(lines), args.batch):
             chunk = lines[i0 : i0 + args.batch]

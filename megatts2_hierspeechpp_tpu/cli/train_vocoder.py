@@ -131,12 +131,21 @@ def main():
             for idx in sampler.epoch_batches(epoch):
                 yield vocoder_batch(ds, idx)
 
+        # held-out full-inference mel-L1 + excitation plots every
+        # eval_interval (same observability contract as the s2/s1 CLIs)
+        from megatts2_hierspeechpp_tpu.train.evalhooks import make_vocoder_eval_fn
+
+        eval_fn = make_vocoder_eval_fn(
+            voc, vocoder_batch(ds, sampler.epoch_batches(0)[0]))
+
         run_training(
             state, train_step, batches, model_dir,
             epochs=hps.train.epochs, seed=hps.train.seed,
             log_interval=hps.train.log_interval,
             save_interval=hps.train.save_interval,
             shard_fn=lambda b: shard_batch(mesh, b),
+            eval_interval=hps.train.get("eval_interval", None),
+            eval_fn=eval_fn,
         )
 
 

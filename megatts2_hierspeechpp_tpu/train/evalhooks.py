@@ -75,6 +75,47 @@ def make_s2_eval_fn(ttv: TTVModel, eval_batch: Dict[str, np.ndarray],
     return eval_fn
 
 
+def make_vocoder_eval_fn(voc, eval_batch: Dict[str, np.ndarray],
+                         plot: bool = True) -> Callable:
+    """Held-out full-inference eval for the vocoder trainer (capability
+    addition; the reference ships no vocoder trainer): synthesize from
+    (mel-style, w2v, f0) with the inference path and report the log-mel L1
+    between the synthesized and ground-truth audio — the actual perceptual
+    proxy — plus an excitation-vs-f0 overlay PNG."""
+    from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+    from megatts2_hierspeechpp_tpu.ops.stft import mel_spectrogram_fixed
+
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    @jax.jit
+    def _run(params_g):
+        wav_hat, e_ = voc.apply(
+            {"params": params_g}, batch["mel"], batch["w2v"],
+            batch["mask"], batch["f0"][..., None],
+            method=HierVocoder.infer,
+        )
+        mel_hat = mel_spectrogram_fixed(wav_hat[..., 0].astype(jnp.float32))
+        mel_gt = mel_spectrogram_fixed(batch["audio"])
+        t = min(mel_hat.shape[1], mel_gt.shape[1], batch["mask"].shape[1])
+        l1 = _masked_l1(mel_hat[:, :t], mel_gt[:, :t], batch["mask"][:, :t])
+        return wav_hat, e_, l1
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        wav_hat, e_, l1 = _run(state.params_g)
+        scalars = {"mel_l1": float(l1)}
+        if plot:
+            out = os.path.join(model_dir, "eval")
+            n0 = int(eval_batch["lengths"][0])
+            save_f0_plot(
+                eval_batch["f0"][0, : 4 * n0],
+                np.asarray(e_)[0, : 4 * n0, 0],
+                os.path.join(out, f"excitation_{step}.png"),
+            )
+        return scalars
+
+    return eval_fn
+
+
 def make_s1_eval_fn(ttv: TTVModel, plm: ProsodyLM,
                     eval_batch: Dict[str, np.ndarray]) -> Callable:
     """Held-out PLM CE loss + top-10 accuracy at fixed shapes (the s1

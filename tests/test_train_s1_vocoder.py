@@ -74,3 +74,39 @@ def test_vocoder_train_step_runs():
     assert int(state.step) == 1
     # excitation/f0 supervision is wired (SourceNetwork predictor head e_)
     assert "loss/g/f0" in metrics and float(metrics["loss/g/f0"]) > 0
+
+
+def test_vocoder_eval_hook(tmp_path):
+    """Periodic-eval hook for the vocoder trainer: held-out full-inference
+    mel L1 scalar + excitation overlay PNG (train/evalhooks.py)."""
+    from megatts2_hierspeechpp_tpu.models.discriminators import (
+        MultiPeriodDiscriminator,
+    )
+    from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+    from megatts2_hierspeechpp_tpu.train import vocoder as vt
+    from megatts2_hierspeechpp_tpu.train.evalhooks import make_vocoder_eval_fn
+
+    b, t = 1, 16
+    rng = np.random.default_rng(3)
+    batch = {
+        "audio": rng.uniform(-0.5, 0.5, (b, 320 * t)).astype(np.float32),
+        "mel": rng.standard_normal((b, t, 80)).astype(np.float32),
+        "w2v": rng.standard_normal((b, t, 1024)).astype(np.float32),
+        "f0": np.abs(rng.standard_normal((b, 4 * t))).astype(np.float32),
+        "mask": np.ones((b, t, 1), np.float32),
+        "lengths": np.full((b,), t, np.int32),
+    }
+    voc = HierVocoder(upsample_initial_channel=64, posterior_wn_layers=4,
+                      n_flows=1, flow_layers=1)
+    disc = MultiPeriodDiscriminator(
+        resolutions=((256, 64, 256),), periods=(2,)
+    )
+    tx = adamw(1e-4, steps_per_epoch=10)
+    state = vt.create_state(voc, disc, tx, tx, jax.random.PRNGKey(0))
+
+    eval_fn = make_vocoder_eval_fn(voc, batch)
+    scalars = eval_fn(state, 5, str(tmp_path))
+    assert np.isfinite(scalars["mel_l1"]) and scalars["mel_l1"] > 0
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "eval", "excitation_5.png"))
