@@ -248,6 +248,21 @@ class TTSPipeline:
                 return self.speechsr.apply({"params": sr_params}, wav)
 
             fn = jax.jit(_sr, donate_argnums=(1,))
+        elif name.startswith("sr_chunk:"):
+            # streaming SR piece: same edge-alignment rules as vocode_dec
+            # (first/last pieces own the true sequence edge; interiors carry
+            # real-sample halos >= the AMP stack's receptive field)
+            _, kind, ln_s, halo_s = name.split(":")
+            ln, hs = int(ln_s), int(halo_s)
+            num = self.speechsr.rate_num
+            den = self.speechsr.rate_den
+
+            def _sr_chunk(sr_params, x):  # x: (1, L, 1), halos per `kind`
+                y = self.speechsr.apply({"params": sr_params}, x)
+                start = hs * num // den if kind in ("mid", "last") else 0
+                return y[:, start: start + ln * num // den]
+
+            fn = jax.jit(_sr_chunk)
         else:  # pragma: no cover
             raise KeyError(name)
         self._jits[name] = fn
@@ -387,9 +402,11 @@ class TTSPipeline:
         prompt: Optional[PromptFeatures] = None,
         chunk_frames: int = 200,
         halo_frames: int = 32,
+        output_sr: int = 16000,
+        sr_halo: int = 512,
     ):
-        """Streaming TTS: yields 16 kHz float32 wav chunks (4 s of audio per
-        chunk at the default) as the vocoder decodes them.
+        """Streaming TTS: yields float32 wav chunks (4 s of audio per chunk at
+        the default) as the vocoder decodes them.
 
         The vocoder is split at the Generator boundary (HierVocoder.vc_latent /
         decode_latent): style, the DiT flows (full-sequence attention) and the
@@ -398,10 +415,14 @@ class TTSPipeline:
         `halo_frames` halo on each side, whose outputs are discarded. The halo
         covers the Generator's receptive field, so the concatenated stream
         matches the non-streaming tts() output except for float accumulation
-        at chunk edges (pinned by tests/test_stream.py). Chunks are raw tanh
+        at chunk edges (pinned by tests/test_pipeline.py). Chunks are raw tanh
         output (|x| <= 1), NOT peak-normalized — global peak is unknowable
-        mid-stream. 16 kHz only; SR'd streaming would need one-chunk
-        lookahead (not implemented).
+        mid-stream.
+
+        output_sr 24000/48000 applies SpeechSR per chunk with ONE chunk of
+        lookahead (the all-conv SR stack needs a right halo of future
+        samples), so the first SR'd chunk arrives after the second raw chunk
+        decodes; edge pieces are again edge-aligned for exactness.
 
         Reference equivalent: none (the reference's tts() is monolithic,
         inference_plm.py:103-201); this is a serving capability addition.
@@ -466,28 +487,53 @@ class TTSPipeline:
                         + [("mid", x, ck) for x in starts]
                         + [("last", s, t_voc - s)])
 
-        emitted = 0
-        for kind, start, length in segments:
-            if kind == "full":
-                dec = self._stage(f"vocode_dec:full:{ck}:{h}")
-                out = dec(self.vocoder_params, z, e, g)
-            elif kind == "first":
-                dec = self._stage(f"vocode_dec:first:{ck}:{h}")
-                out = dec(self.vocoder_params, z[:, : ck + h],
-                          e[:, : 4 * (ck + h)], g)
-            elif kind == "mid":
-                dec = self._stage(f"vocode_dec:mid:{ck}:{h}")
-                out = dec(self.vocoder_params, z, e, g, jnp.int32(start))
-            else:  # last
-                dec = self._stage(f"vocode_dec:last:{length}:{h}")
-                out = dec(self.vocoder_params, z[:, start - h:],
-                          e[:, 4 * (start - h):], g)
-            chunk = np.asarray(out)[0, :, 0]
-            take = min(len(chunk), 320 * t_frames - emitted)
-            if take <= 0:
-                break
-            emitted += take
-            yield chunk[:take].astype(np.float32)
+        def raw_chunks():
+            emitted = 0
+            for kind, start, length in segments:
+                if kind == "full":
+                    dec = self._stage(f"vocode_dec:full:{ck}:{h}")
+                    out = dec(self.vocoder_params, z, e, g)
+                elif kind == "first":
+                    dec = self._stage(f"vocode_dec:first:{ck}:{h}")
+                    out = dec(self.vocoder_params, z[:, : ck + h],
+                              e[:, : 4 * (ck + h)], g)
+                elif kind == "mid":
+                    dec = self._stage(f"vocode_dec:mid:{ck}:{h}")
+                    out = dec(self.vocoder_params, z, e, g, jnp.int32(start))
+                else:  # last
+                    dec = self._stage(f"vocode_dec:last:{length}:{h}")
+                    out = dec(self.vocoder_params, z[:, start - h:],
+                              e[:, 4 * (start - h):], g)
+                chunk = np.asarray(out)[0, :, 0]
+                take = min(len(chunk), 320 * t_frames - emitted)
+                if take <= 0:
+                    break
+                emitted += take
+                yield chunk[:take].astype(np.float32)
+
+        if output_sr == 16000:
+            yield from raw_chunks()
+            return
+        assert output_sr in (24000, 48000) and self.speechsr is not None
+        hs = sr_halo
+
+        def sr_piece(mid, left, right):
+            kind = ("full" if left is None and right is None else
+                    "first" if left is None else
+                    "last" if right is None else "mid")
+            parts = [p for p in (left, mid, right) if p is not None]
+            x = jnp.asarray(np.concatenate(parts))[None, :, None]
+            fn = self._stage(f"sr_chunk:{kind}:{len(mid)}:{hs}")
+            return np.asarray(fn(self.speechsr_params, x))[0, :, 0]
+
+        prev, prev_left = None, None
+        for r in raw_chunks():
+            if prev is not None:
+                yield sr_piece(prev, prev_left, r[:hs])
+                prev_left = prev[-hs:]
+            prev = r
+        if prev is not None:
+            yield sr_piece(prev, prev_left, None)
 
     def tts_batch(
         self,

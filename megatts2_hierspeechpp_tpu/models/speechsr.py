@@ -9,6 +9,7 @@ speechsr48k/G_100000.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from megatts2_hierspeechpp_tpu.nn.activations import AASnakeBeta
@@ -17,16 +18,34 @@ from megatts2_hierspeechpp_tpu.nn.resblocks import AMPBlock
 
 
 def interp_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """torch F.interpolate(mode='linear', align_corners=False) on (B, T, C)."""
+    """torch F.interpolate(mode='linear', align_corners=False) on (B, T, C).
+
+    Source positions are computed EXACTLY via the rational ratio out_len/t
+    (decompose i = q*num + s; pos = q*den + table[s]) instead of
+    (i+0.5)*scale-0.5 in fp32 — the fp32 form accumulates index error ~i*eps
+    (a quarter sample at 80 s of 48 kHz!) and makes the result depend on the
+    absolute offset, which breaks chunked/streamed equivalence. torch computes
+    these indices in double; the exact table matches it."""
     b, t, c = x.shape
     if out_len == t:
         return x
-    scale = t / out_len
-    pos = (jnp.arange(out_len) + 0.5) * scale - 0.5
-    pos = jnp.clip(pos, 0.0, t - 1)
-    lo = jnp.floor(pos).astype(jnp.int32)
+    from math import gcd
+
+    g = gcd(out_len, t)
+    num, den = out_len // g, t // g
+    # pos(i) = (i + 0.5) * den/num - 0.5; i = q*num + s -> q*den + pos_s[s]
+    pos_s = (np.arange(num) + 0.5) * den / num - 0.5  # float64, one period
+    lo_s = np.floor(pos_s).astype(np.int64)
+    w_s = pos_s - lo_s
+    i = jnp.arange(out_len)
+    q, s = i // num, i % num
+    lo = q * den + jnp.asarray(lo_s, jnp.int32)[s]
+    w = jnp.asarray(w_s, jnp.float32)[s]
+    # edge clamp (same semantics as clip(pos, 0, t-1))
+    w = jnp.where(lo < 0, 0.0, w)
+    lo = jnp.clip(lo, 0, t - 1)
     hi = jnp.minimum(lo + 1, t - 1)
-    w = (pos - lo)[None, :, None].astype(x.dtype)
+    w = w[None, :, None].astype(x.dtype)
     return x[:, lo, :] * (1 - w) + x[:, hi, :] * w
 
 

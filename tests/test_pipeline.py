@@ -154,6 +154,31 @@ def test_tts_stream_matches_full(pipeline):
 
 
 @pytest.mark.slow
+def test_tts_stream_48k_matches_full(pipeline):
+    """SR'd streaming (one-chunk lookahead, edge-aligned SpeechSR pieces):
+    after removing the global peak-normalization gain (the streamed tail
+    differs inside SpeechSR's receptive field of the bucket padding, shifting
+    the full path's peak slightly), the interior matches the monolithic
+    48 kHz output to float accumulation."""
+    prompt = (np.random.default_rng(7).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    pf = pipeline.prepare_prompt(prompt)
+    text = "sil zh ang1 h ao3 n in2 h ao3 sp"
+    full = pipeline.tts(text, prompt=pf, seed=11, output_sr=48000,
+                        length_scale=3.0)
+    chunks = list(pipeline.tts_stream(text, prompt=pf, seed=11,
+                                      length_scale=3.0, output_sr=48000,
+                                      chunk_frames=16, halo_frames=16))
+    assert len(chunks) >= 2
+    wav = np.concatenate(chunks)
+    assert len(wav) == len(full)
+    inter_w, inter_f = wav[:-1024], full[:-1024]
+    gain = float(np.dot(inter_w, inter_f) / np.dot(inter_w, inter_w))
+    assert np.abs(gain * inter_w - inter_f).max() < 1e-5
+    # tail (inside SR's receptive field of the bucket padding) stays bounded
+    assert np.abs(gain * wav - full).max() < 0.1
+
+
+@pytest.mark.slow
 def test_tts_without_plm(pipeline):
     prompt = (np.random.default_rng(3).uniform(-0.3, 0.3, 32000)).astype(np.float32)
     wav = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, use_plm=False)
