@@ -45,7 +45,9 @@ def _hz_to_mel_slaney(f):
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
     mel = f / f_sp
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    # np.where evaluates both branches: clamp keeps log() off f=0 (warning-free)
+    f_log = np.maximum(f, min_log_hz)
+    return np.where(f >= min_log_hz, min_log_mel + np.log(f_log / min_log_hz) / logstep, mel)
 
 
 def _mel_to_hz_slaney(m):
