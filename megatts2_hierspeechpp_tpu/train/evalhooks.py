@@ -23,7 +23,9 @@ from megatts2_hierspeechpp_tpu.utils.plotting import (
 
 
 def _masked_l1(pred, target, mask):
-    mask = mask.astype(pred.dtype)
+    # broadcast the (B, T, 1) mask to the full diff shape BEFORE summing the
+    # denominator, else the scalar comes out C-times too large
+    mask = jnp.broadcast_to(mask.astype(pred.dtype), pred.shape)
     return jnp.sum(jnp.abs(pred - target) * mask) / jnp.maximum(
         jnp.sum(mask), 1.0
     )
