@@ -171,6 +171,19 @@ class TTSPipeline:
 
             fn = jax.jit(_acoustic,
                          static_argnames=("out_budget", "top_k", "mode"))
+        elif name == "duration":
+            # cheap pre-pass (text enc + MRTE + duration predictor) so the
+            # acoustic/vocoder buckets are sized from the TRUE predicted
+            # length — without it the PLM decode scan and the vocoder always
+            # run at the worst-case frames-per-phone budget
+            def _duration(ttv_vars, x_ids, tone, lang, x_len, mel_ttv,
+                          mel_len, length_scale):
+                return self.ttv.apply(
+                    ttv_vars, x_ids, tone, lang, x_len, mel_ttv, mel_len,
+                    length_scale, method=TTVModel.predict_frame_lengths,
+                )
+
+            fn = jax.jit(_duration)
         elif name == "vocode":
             def _vocode(voc_params, w2v, mask, mel_pair, f0, noise_scale, rng,
                         denoise_ratio):
@@ -335,7 +348,6 @@ class TTSPipeline:
         x_ids[0, :n], tone[0, :n], lang[0, :n] = ids, tones, langs
         x_len = jnp.asarray([n], jnp.int32)
         mel_len = jnp.asarray([prompt.mel_ttv.shape[1]], jnp.int32)
-        out_budget = _bucket(int(n * 40 * length_scale))  # ~20 frames/phone cap
 
         mode = "given" if codes is not None else ("plm" if use_plm else "prompt")
         given = (jnp.asarray(codes, jnp.int32).reshape(1, -1)
@@ -345,19 +357,17 @@ class TTSPipeline:
                 jnp.asarray(tone), jnp.asarray(lang), x_len,
                 prompt.mel_ttv, mel_len,
                 jnp.float32(length_scale), jax.random.PRNGKey(seed), given)
+        # duration pre-pass: size the (static) acoustic budget from the true
+        # predicted length, not a frames-per-phone worst case — the PLM decode
+        # scan and the vocoder otherwise burn the whole padded budget
+        t_frames = int(jax.device_get(self._stage("duration")(
+            self.ttv_vars, jnp.asarray(x_ids), jnp.asarray(tone),
+            jnp.asarray(lang), x_len, prompt.mel_ttv, mel_len,
+            jnp.float32(length_scale)))[0])
+        t_voc = t_frames if exact else _bucket(t_frames)
         w2v_pred, pred_lf0, frame_lengths, frame_mask, x_frame, codes_out = acoustic(
-            *args, out_budget=out_budget, top_k=top_k, mode=mode
+            *args, out_budget=2 * t_voc, top_k=top_k, mode=mode
         )
-        t_frames = int(jax.device_get(frame_lengths)[0])
-        if exact:
-            # re-run at exactly the predicted length: zero padded frames ->
-            # numerically identical to the reference's dynamic-shape tts()
-            w2v_pred, pred_lf0, frame_lengths, frame_mask, x_frame, codes_out = (
-                acoustic(*args, out_budget=2 * t_frames, top_k=top_k, mode=mode)
-            )
-            t_voc = t_frames
-        else:
-            t_voc = _bucket(t_frames)
 
         wav = self._stage("vocode")(
             self.vocoder_params,
@@ -440,7 +450,12 @@ class TTSPipeline:
         x_ids[0, :n], tone[0, :n], lang[0, :n] = ids, tones, langs
         x_len = jnp.asarray([n], jnp.int32)
         mel_len = jnp.asarray([prompt.mel_ttv.shape[1]], jnp.int32)
-        out_budget = _bucket(int(n * 40 * length_scale))
+
+        t_frames = int(jax.device_get(self._stage("duration")(
+            self.ttv_vars, jnp.asarray(x_ids), jnp.asarray(tone),
+            jnp.asarray(lang), x_len, prompt.mel_ttv, mel_len,
+            jnp.float32(length_scale)))[0])
+        t_voc = _bucket(t_frames)
 
         mode = "plm" if use_plm else "prompt"
         given = jnp.zeros((1, 1), jnp.int32)
@@ -451,10 +466,8 @@ class TTSPipeline:
             jnp.asarray(tone), jnp.asarray(lang), x_len,
             prompt.mel_ttv, mel_len,
             jnp.float32(length_scale), jax.random.PRNGKey(seed), given,
-            out_budget=out_budget, top_k=top_k, mode=mode,
+            out_budget=2 * t_voc, top_k=top_k, mode=mode,
         )
-        t_frames = int(jax.device_get(frame_lengths)[0])
-        t_voc = _bucket(t_frames)
 
         z, e, g = self._stage("vocode_latent")(
             self.vocoder_params,
@@ -561,20 +574,25 @@ class TTSPipeline:
             x_ids[i, :n], tone[i, :n], lang[i, :n], lens[i] = ids, tn, lg, n
         length_scale = kw.get("length_scale", 1.0)
         seed = kw.get("seed", 1234)
-        out_budget = _bucket(int(n_max * 40 * length_scale))
 
         mel_ttv = jnp.tile(prompt.mel_ttv, (b, 1, 1))
         mel_len = jnp.full((b,), prompt.mel_ttv.shape[1], jnp.int32)
+        # duration pre-pass sizes the shared batch bucket from the longest
+        # predicted utterance (see tts())
+        t_pred = np.asarray(jax.device_get(self._stage("duration")(
+            self.ttv_vars, jnp.asarray(x_ids), jnp.asarray(tone),
+            jnp.asarray(lang), jnp.asarray(lens), mel_ttv, mel_len,
+            jnp.float32(length_scale))))
+        t_voc = _bucket(int(t_pred.max()))
         w2v_pred, pred_lf0, frame_lengths, frame_mask, _, _ = self._stage("acoustic")(
             self.ttv_vars, self.plm_params, jnp.asarray(x_ids),
             jnp.asarray(tone), jnp.asarray(lang), jnp.asarray(lens),
             mel_ttv, mel_len, jnp.float32(length_scale),
             jax.random.PRNGKey(seed), jnp.zeros((1, 1), jnp.int32),
-            out_budget=out_budget, top_k=kw.get("top_k", 0),
+            out_budget=2 * t_voc, top_k=kw.get("top_k", 0),
             mode="plm" if kw.get("use_plm", True) else "prompt",
         )
-        t_frames = np.asarray(jax.device_get(frame_lengths))
-        t_voc = _bucket(int(t_frames.max()))
+        t_frames = t_pred
         # one shared prompt: the 2-row [orig; denoised] mel pair yields a
         # (1, C) style vector that broadcasts over the batch inside the vocoder
         wav = self._stage("vocode")(

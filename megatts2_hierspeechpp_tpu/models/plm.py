@@ -219,7 +219,11 @@ def decode(
     pe = sine_positions(t, d)
     pos_alpha = params["pos_alpha"]
 
-    k_cache = jnp.zeros((n_layers, b, n_heads, t, hd), tc_latent.dtype)
+    # cache dtype must match what the dense projections PRODUCE: bf16 inputs
+    # with f32 params promote to f32 (the serving pipeline feeds bf16
+    # tc_latent from a bf16 TTV)
+    k_cache = jnp.zeros((n_layers, b, n_heads, t, hd),
+                        jnp.result_type(tc_latent.dtype, emb_table.dtype))
     v_cache = jnp.zeros_like(k_cache)
     prev = jnp.full((b,), go_id, jnp.int32)
     rng0 = rng if rng is not None else jax.random.PRNGKey(0)

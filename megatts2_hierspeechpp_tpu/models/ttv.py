@@ -464,6 +464,27 @@ class TTVModel(nn.Module):
         frame_mask = feature_mask(frame_lengths, x_frame.shape[1])
         return x_frame, g, frame_lengths, frame_mask
 
+    def predict_frame_lengths(
+        self, x_ids, tone, language, x_lengths, mrte_mel, mrte_mel_lengths,
+        length_scale: float = 1.0,
+    ):
+        """Duration-only serving pre-pass: the first half of
+        inf_extract_tc_latent (text encoder + MRTE + duration predictor),
+        returning just the predicted 50 Hz frame lengths (B,). Lets the
+        pipeline size the PLM-decode/vocoder buckets from the TRUE predicted
+        length instead of a worst-case frames-per-phone budget — the decode
+        scan and the vocoder otherwise run at the padded worst case."""
+        n = x_ids.shape[1]
+        x_mask = feature_mask(x_lengths, n)
+        mrte_mask = feature_mask(mrte_mel_lengths, mrte_mel.shape[1])
+        g = self.emb_g(mrte_mel, mrte_mask)
+        x = self._text_mrte(x_ids, tone, language, x_mask, mrte_mel, mrte_mask, g)
+        logw = self.duration_predictor(x, x_mask, g)
+        w = jnp.exp(logw) * x_mask * length_scale
+        dur = jnp.ceil(w)[..., 0]
+        total = jnp.sum(dur * x_mask[..., 0], axis=1)
+        return jnp.ceil(total / 2).astype(jnp.int32)
+
     def inf_plm_gen(self, x_frame, g, codes, frame_lengths, frame_mask):
         """codes (n_q, B, T) from the PLM -> (w2v_pred, pred_lf0) (:985-994)."""
         quantized = self.quantizer.decode(codes)

@@ -69,6 +69,23 @@ def test_kv_decode_matches_naive_causal_greedy(models):
     np.testing.assert_array_equal(np.asarray(naive), np.asarray(fast))
 
 
+def test_kv_decode_accepts_bf16_latents(models):
+    """The serving pipeline feeds bf16 tc_latent from a bf16 TTV; the KV
+    cache must match the dtype the f32-param projections produce (f32 after
+    promotion), not the input dtype."""
+    _, jmod, params = models
+    b, t = 1, 6
+    tc = np.random.default_rng(4).standard_normal((b, t, 44)).astype(np.float32)
+    f32 = decode(params["params"], jnp.asarray(tc), n_layers=2, n_heads=4,
+                 go_id=1024)
+    b16 = decode(params["params"], jnp.asarray(tc, jnp.bfloat16), n_layers=2,
+                 n_heads=4, go_id=1024)
+    assert b16.shape == (b, t) and b16.dtype == np.int32
+    # bf16 input rounding may flip near-tie argmaxes; codes stay in range
+    assert (np.asarray(b16) >= 0).all() and (np.asarray(b16) < 1024).all()
+    del f32
+
+
 def test_topk_sampling_decodes_valid_codes(models):
     _, jmod, params = models
     b, t = 1, 7

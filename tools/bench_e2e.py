@@ -70,20 +70,24 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     pipe = build_pipeline(dtype=jnp.bfloat16 if on_tpu else None)
 
-    # ~64 phonemes like the round-1 e2e config
+    # ~64 phonemes like the round-1 e2e config; random duration weights
+    # predict ~1 frame/phone, so length_scale approximates the trained
+    # models' ~20 frames/phone (8-20 s utterances)
     text = " ".join(["sil"] + ["zh ang1 h ao3 n in2 sp"] * 10 + ["sil"])
+    ls = 10.0
     prompt = np.random.default_rng(0).uniform(-0.3, 0.3, 48000).astype(np.float32)
     pf = pipe.prepare_prompt(prompt)
 
     # ---- warm all shape buckets (compiles happen here) ----
-    wav = pipe.tts(text, prompt=pf, seed=0, output_sr=16000)
+    wav = pipe.tts(text, prompt=pf, seed=0, output_sr=16000, length_scale=ls)
     audio_s = len(wav) / 16000.0
 
     # ---- B=1 serving latency ----
     best = float("inf")
     for seed in range(5):
         t0 = time.perf_counter()
-        wav = pipe.tts(text, prompt=pf, seed=seed, output_sr=16000)
+        wav = pipe.tts(text, prompt=pf, seed=seed, output_sr=16000,
+                       length_scale=ls)
         best = min(best, time.perf_counter() - t0)
     out = {
         "e2e_b1_latency_ms": round(best * 1e3, 1),
@@ -93,12 +97,14 @@ def main():
 
     # ---- batched offline throughput ----
     texts = [text] * 8
-    outs = pipe.tts_batch(texts, prompt_audio=prompt, seed=0)  # warm
+    outs = pipe.tts_batch(texts, prompt_audio=prompt, seed=0,
+                          length_scale=ls)  # warm
     total_audio = sum(len(w) for w in outs) / 16000.0
     best = float("inf")
     for seed in range(3):
         t0 = time.perf_counter()
-        outs = pipe.tts_batch(texts, prompt_audio=prompt, seed=seed)
+        outs = pipe.tts_batch(texts, prompt_audio=prompt, seed=seed,
+                              length_scale=ls)
         best = min(best, time.perf_counter() - t0)
     out["e2e_b8_rtf"] = round(total_audio / best, 1)
     out["e2e_b8_audio_s"] = round(total_audio, 2)
