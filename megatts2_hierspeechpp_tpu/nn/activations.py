@@ -61,7 +61,7 @@ class AASnakeBeta(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         import os
 
         import jax
@@ -77,6 +77,9 @@ class AASnakeBeta(nn.Module):
             beta_v = jnp.exp(beta)
         else:
             alpha_v, beta_v = alpha, beta
+        if return_params:
+            # post-exp (alpha, beta) for fused kernels (ops/pallas_ampblock)
+            return alpha_v, beta_v
 
         # Default on TPU: the fused Pallas kernel. Measured on v5e with
         # readback-honest timing (BASELINE.md): 2.1-2.2x per-AMPBlock at the

@@ -158,7 +158,7 @@ class WNConv1d(nn.Module):
     kernel_init: nn.initializers.Initializer = nn.initializers.normal(stddev=0.01)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_kernel: bool = False):
         cin = x.shape[-1]
         v = self.param(
             "v",
@@ -176,6 +176,10 @@ class WNConv1d(nn.Module):
             if self.use_bias
             else None
         )
+        if return_kernel:
+            # effective (normalized) weights for fused kernels
+            # (ops/pallas_ampblock); x is used only for cin inference
+            return kernel, bias
         return conv1d_op(
             x, kernel, bias, self.stride, self.padding, self.dilation, self.groups,
             compute_dtype=self.dtype,

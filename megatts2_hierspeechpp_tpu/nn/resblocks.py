@@ -92,26 +92,67 @@ class AMPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n = len(self.dilation)
+        import os
+
+        import jax
+
+        # Fused whole-block Pallas path (TPU, small-C stages): one VMEM pass
+        # for the 6 convs + 6 anti-aliased snakes instead of ~12 HBM round
+        # trips; exact vs the composed path (stitched edges), differentiable
+        # (ops/pallas_ampblock). Opt-in via MEGATTS_FUSED_AMPBLOCK=1 until
+        # A/B-validated on hardware (interpret-mode parity is green).
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and x.shape[-1] <= 64
+            and os.environ.get("MEGATTS_PALLAS", "1") != "0"
+            and os.environ.get("MEGATTS_FUSED_AMPBLOCK", "0") == "1"
+        )
+        acts1, ibs1, ks1, bs1 = [], [], [], []
+        acts2, ibs2, ks2, bs2 = [], [], [], []
         for i, d in enumerate(self.dilation):
             a1 = AASnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i}")
             a2 = AASnakeBeta(self.channels, alpha_logscale=True, name=f"act_{2 * i + 1}")
-            xt = a1(x)
-            xt = WNConv1d(
+            c1 = WNConv1d(
                 self.channels,
                 self.kernel_size,
                 padding=get_padding(self.kernel_size, d),
                 dilation=d,
                 dtype=self.dtype,
                 name=f"convs1_{i}",
-            )(xt)
-            xt = a2(xt)
-            xt = WNConv1d(
+            )
+            c2 = WNConv1d(
                 self.channels,
                 self.kernel_size,
                 padding=get_padding(self.kernel_size, 1),
                 dtype=self.dtype,
                 name=f"convs2_{i}",
-            )(xt)
-            x = xt + x
+            )
+            if use_fused:
+                al1, be1 = a1(x, return_params=True)
+                al2, be2 = a2(x, return_params=True)
+                k1, b1 = c1(x, return_kernel=True)
+                k2, b2 = c2(x, return_kernel=True)
+                acts1.append(al1)
+                ibs1.append(1.0 / (be1 + 1e-9))
+                ks1.append(jnp.transpose(k1, (0, 2, 1)))  # (k, Cout, Cin)
+                bs1.append(b1)
+                acts2.append(al2)
+                ibs2.append(1.0 / (be2 + 1e-9))
+                ks2.append(jnp.transpose(k2, (0, 2, 1)))
+                bs2.append(b2)
+            else:
+                xt = a1(x)
+                xt = c1(xt)
+                xt = a2(xt)
+                xt = c2(xt)
+                x = xt + x
+        if use_fused:
+            from megatts2_hierspeechpp_tpu.ops.pallas_ampblock import fused_ampblock
+
+            x = fused_ampblock(
+                x,
+                jnp.stack(acts1), jnp.stack(ibs1), jnp.stack(ks1), jnp.stack(bs1),
+                jnp.stack(acts2), jnp.stack(ibs2), jnp.stack(ks2), jnp.stack(bs2),
+                kernel_size=self.kernel_size, dilations=tuple(self.dilation),
+            )
         return x
