@@ -103,7 +103,7 @@ class AMPBlock(nn.Module):
         # A/B-validated on hardware (interpret-mode parity is green).
         use_fused = (
             jax.default_backend() == "tpu"
-            and x.shape[-1] <= 64
+            and x.shape[-1] <= 128
             and os.environ.get("MEGATTS_PALLAS", "1") != "0"
             and os.environ.get("MEGATTS_FUSED_AMPBLOCK", "0") == "1"
         )

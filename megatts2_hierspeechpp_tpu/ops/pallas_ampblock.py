@@ -241,8 +241,9 @@ def fused_ampblock(
     if t <= 4 * e:  # too short for a meaningful fused interior
         return composed_ampblock(x, *ws, kernel_size, dilations)
 
-    # VMEM: ~6 live (C<=64 padded, tile+256) f32 buffers + stacked weights
-    tile_t = _pick_tile(t, tile_t)
+    # VMEM: ~6 live (C, tile+256) f32 buffers + stacked weights ((n, k, C, C)
+    # x2 ~ 4.3 MB at C=128, k=11) must fit the 16 MB scoped limit
+    tile_t = _pick_tile(t, min(tile_t, 131072 // max(c, 64)))
     if t % tile_t != 0:
         t_pad = (-(-t // tile_t)) * tile_t
         xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")

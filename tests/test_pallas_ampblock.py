@@ -38,6 +38,7 @@ def _weights(rng, n, k, c):
     ((1, 512, 16), 11, (1, 3, 5)),   # Generator C=16 stage
     ((2, 640, 32), 7, (1, 3, 5)),    # SourceNetwork-style kernel
     ((1, 512, 64), 3, (1, 3, 5)),    # small kernel
+    ((1, 1024, 128), 11, (1, 3, 5)),  # C=128 (1024-tile VMEM budget)
 ])
 def test_fused_ampblock_matches_composed(shape, k, dil, interpret_pallas):
     b, t, c = shape
@@ -48,8 +49,11 @@ def test_fused_ampblock_matches_composed(shape, k, dil, interpret_pallas):
     ref = pab.composed_ampblock(x, *ws, k, dil)
     out = pab.fused_ampblock(x, *ws, kernel_size=k, dilations=dil)
     d = np.abs(np.asarray(out) - np.asarray(ref))
-    # stitched edges make the op exact EVERYWHERE (vs composed), to fp accum
-    assert d.max() < 2e-4, d.max()
+    # stitched edges make the op exact EVERYWHERE (vs composed), to fp
+    # accumulation; relative because the 0.1-scale test convs amplify signals
+    # ~14x per branch at large C
+    rel = d.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 1e-5, (d.max(), rel)
 
 
 def test_ampblock_module_fused_path_matches(interpret_pallas, monkeypatch):

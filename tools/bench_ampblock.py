@@ -1,0 +1,80 @@
+"""A/B the fused whole-AMPBlock kernel vs the composed path on hardware.
+
+Within ONE process (axon tunnel dispatch noise), readback-barrier timing:
+ 1. per-stage AMPBlock at the Generator's (C, rate) combos
+ 2. full vocoder voice_conversion with MEGATTS_FUSED_AMPBLOCK on/off
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_ampblock.py
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def best_of(fn, rounds=3, n_iter=10):
+    import jax
+
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fn()
+        jax.tree.map(np.asarray, out)
+        best = min(best, time.perf_counter() - t0)
+    return best / n_iter
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from megatts2_hierspeechpp_tpu.nn.resblocks import AMPBlock
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else None
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # ---- per-stage blocks: Generator C/rate ladder for 80 s of audio ----
+    for c, t in [(64, 4000 * 80), (32, 8000 * 80), (16, 16000 * 80)]:
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        block = AMPBlock(c, 11, (1, 3, 5), dtype=dtype)
+        params = jax.jit(block.init)(jax.random.PRNGKey(0), x[:, :512])
+
+        times = {}
+        for flag in ("0", "1"):
+            os.environ["MEGATTS_FUSED_AMPBLOCK"] = flag
+            fn = jax.jit(lambda p, x: block.apply(p, x))
+            np.asarray(fn(params, x))  # compile+warm (env is trace-time)
+            times[flag] = best_of(lambda: fn(params, x))
+        out[f"ampblock_c{c}_ms_composed"] = round(times["0"] * 1e3, 3)
+        out[f"ampblock_c{c}_ms_fused"] = round(times["1"] * 1e3, 3)
+        out[f"ampblock_c{c}_speedup"] = round(times["0"] / times["1"], 2)
+
+    # ---- model level: full vocoder ----
+    from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+
+    model = HierVocoder(dtype=dtype)
+    b, t = 4, 1000
+    mel = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    w2v = jnp.asarray(rng.standard_normal((b, t, 1024)), jnp.float32)
+    mask = jnp.ones((b, t, 1), jnp.float32)
+    f0 = jnp.asarray(np.abs(rng.standard_normal((b, 4 * t, 1))), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), mel, w2v, mask, f0)
+    params = {"params": variables["params"]}
+
+    for flag in ("0", "1"):
+        os.environ["MEGATTS_FUSED_AMPBLOCK"] = flag
+        fn = jax.jit(lambda p, *a: model.apply(p, *a)[0])
+        np.asarray(fn(params, mel, w2v, mask, f0))
+        dt = best_of(lambda: fn(params, mel, w2v, mask, f0))
+        out[f"vocoder_audio_s_per_s_fused{flag}"] = round(b * t / 50.0 / dt, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
