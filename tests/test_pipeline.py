@@ -179,6 +179,42 @@ def test_tts_stream_48k_matches_full(pipeline):
 
 
 @pytest.mark.slow
+def test_tts_server_batches_shared_prompt(pipeline):
+    """Request-queue serving: concurrent same-prompt requests coalesce into
+    one tts_batch device call; results equal the direct calls."""
+    from megatts2_hierspeechpp_tpu.infer.server import TTSServer
+
+    prompt = (np.random.default_rng(8).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    pf = pipeline.prepare_prompt(prompt)
+    texts = ["sil zh ang1 h ao3 sp", "sil zh ang1 sp", "sil h ao3 sp"]
+    direct = pipeline.tts_batch(texts, prompt=pf, seed=3)
+
+    server = TTSServer(pipeline, max_batch=4, max_wait_ms=200)
+    calls = {"batch": 0, "single": 0}
+    orig_batch, orig_tts = pipeline.tts_batch, pipeline.tts
+
+    def spy_batch(*a, **k):
+        calls["batch"] += 1
+        return orig_batch(*a, **k)
+
+    def spy_tts(*a, **k):
+        calls["single"] += 1
+        return orig_tts(*a, **k)
+
+    pipeline.tts_batch, pipeline.tts = spy_batch, spy_tts
+    try:
+        futs = [server.submit(t, prompt=pf, seed=3) for t in texts]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        pipeline.tts_batch, pipeline.tts = orig_batch, orig_tts
+        server.close()
+
+    assert calls == {"batch": 1, "single": 0}, calls
+    for got, want in zip(outs, direct):
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_tts_without_plm(pipeline):
     prompt = (np.random.default_rng(3).uniform(-0.3, 0.3, 32000)).astype(np.float32)
     wav = pipeline.tts("sil zh ang1 sp", prompt, output_sr=16000, use_plm=False)
