@@ -14,14 +14,17 @@ from megatts2_hierspeechpp_tpu.data.dataset import (
 log = logging.getLogger("megatts2")
 
 
-def make_eval_batch(hps, fallback, max_items: int = 4):
+def make_eval_batch(hps, fallback, max_items: int = 4, cfg=None):
     """Collate a few utterances from validation_files; falls back to the
     first training batch when no validation list is usable (the hook is
-    observability, not model selection)."""
+    observability, not model selection).
+
+    `cfg` is the DatasetConfig the TRAINING dataset uses — pass it through so
+    validation items aren't silently filtered by mismatched defaults."""
     val = hps.data.get("validation_files", None)
     if val and os.path.exists(val):
         try:
-            ds = SidecarDataset(val, DatasetConfig())
+            ds = SidecarDataset(val, cfg if cfg is not None else DatasetConfig())
             if len(ds):
                 return collate([ds[i] for i in range(min(len(ds), max_items))])
         except Exception as e:

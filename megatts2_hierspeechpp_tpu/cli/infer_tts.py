@@ -67,8 +67,9 @@ def main():
                    help="batch N texts per device call (16 kHz output only)")
     p.add_argument("--stream", action="store_true",
                    help="stream each utterance to disk chunk-by-chunk as the "
-                        "vocoder decodes it (16 kHz only; raw gain, no peak "
-                        "normalization)")
+                        "vocoder decodes it (16/24/48 kHz; raw gain, no peak "
+                        "normalization; SR'd streams add one chunk of "
+                        "lookahead latency)")
     p.add_argument("--stream_chunk_frames", type=int, default=200)
     args = p.parse_args()
 
@@ -93,7 +94,7 @@ def main():
         denoise_ratio=args.denoise_ratio, noise_scale_vc=args.noise_scale_vc,
         length_scale=args.length_scale, seed=args.seed, top_k=args.top_k,
     )
-    if args.stream and args.output_sr == 16000:
+    if args.stream:
         import time
 
         for i, text in enumerate(lines):
@@ -101,16 +102,17 @@ def main():
             t0 = time.perf_counter()
             parts, t_first = [], None
             for chunk in pipe.tts_stream(
-                text, prompt=feats,
+                text, prompt=feats, output_sr=args.output_sr,
                 chunk_frames=args.stream_chunk_frames, **kw
             ):
                 if t_first is None:
                     t_first = time.perf_counter() - t0
                 parts.append(chunk)
             wav = np.concatenate(parts)
-            wavfile.write(path, 16000, (wav * 32767.0).astype(np.int16))
+            wavfile.write(path, args.output_sr,
+                          (wav * 32767.0).astype(np.int16))
             print(f"{path}  first-chunk {t_first*1e3:.0f} ms "
-                  f"({len(parts)} chunks, {len(wav)/16000.0:.1f} s)")
+                  f"({len(parts)} chunks, {len(wav)/args.output_sr:.1f} s)")
         return
     if args.batch > 1 and args.output_sr == 16000:
         for i0 in range(0, len(lines), args.batch):

@@ -102,7 +102,11 @@ def main():
         sr, data = wavfile.read(wav_path)
         wav = data.astype(np.float32)
         if data.dtype.kind == "i":
-            wav = wav / 32768.0
+            # scale by the source width (int16/int32/...), not a fixed 2^15 —
+            # int32 PCM would otherwise blow past the peak filter below
+            wav = wav / float(2 ** (8 * data.dtype.itemsize - 1))
+        elif data.dtype.kind == "u":  # uint8 PCM: offset-binary
+            wav = (wav - 128.0) / 128.0
         # bring to 32 kHz with the anti-aliased kaiser-sinc ops (B, T, C)
         if sr != 32000:
             x = jnp.asarray(wav)[None, :, None]

@@ -75,7 +75,8 @@ def main():
     init_distributed()
     mesh = make_mesh()
 
-    ds = SidecarDataset(hps.data.training_files, DatasetConfig())
+    ds_cfg = DatasetConfig()
+    ds = SidecarDataset(hps.data.training_files, ds_cfg)
     sampler = DistributedBucketSampler(
         ds.lengths(), hps.train.batch_size * mesh.shape["data"],
         boundaries=[32, 300, 400, 500, 600, 700, 800, 900, 1000],
@@ -117,7 +118,8 @@ def main():
         from megatts2_hierspeechpp_tpu.cli._evalsetup import make_eval_batch
         from megatts2_hierspeechpp_tpu.train.evalhooks import make_s1_eval_fn
 
-        eval_fn = make_s1_eval_fn(ttv, plm, make_eval_batch(hps, fallback=first))
+        eval_fn = make_s1_eval_fn(ttv, plm,
+                                  make_eval_batch(hps, fallback=first, cfg=ds_cfg))
 
         steps_done = int(np.asarray(state.step))
         per_epoch = max(len(sampler.epoch_batches(0)), 1)

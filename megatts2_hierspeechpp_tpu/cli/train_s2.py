@@ -52,7 +52,8 @@ def main():
     init_distributed()
     mesh = make_mesh()
 
-    ds = SidecarDataset(hps.data.training_files, DatasetConfig())
+    ds_cfg = DatasetConfig()
+    ds = SidecarDataset(hps.data.training_files, ds_cfg)
     logging.info("dataset size: %d", len(ds))
     sampler = DistributedBucketSampler(
         ds.lengths(),
@@ -128,7 +129,7 @@ def main():
         from megatts2_hierspeechpp_tpu.cli._evalsetup import make_eval_batch
         from megatts2_hierspeechpp_tpu.train.evalhooks import make_s2_eval_fn
 
-        eval_batch = make_eval_batch(hps, fallback=first)
+        eval_batch = make_eval_batch(hps, fallback=first, cfg=ds_cfg)
         eval_fn = make_s2_eval_fn(ttv, eval_batch)
 
         steps_done = int(np.asarray(state.step))

@@ -21,13 +21,14 @@ def mel_l1(wav_a: np.ndarray, wav_b: np.ndarray, sr: int = 16000) -> float:
     Framing (n_fft/hop/win/fmax) scales with sr so 24 k/48 k comparisons (e.g.
     SpeechSR outputs) keep the reference's 80 ms window / 20 ms hop contract
     instead of silently reusing 16 k framing with an 8 kHz-capped filterbank."""
-    assert sr % 16000 == 0, f"unsupported sample rate {sr}"
-    scale = sr // 16000
+    scale = sr / 16000  # 24 kHz -> 1.5: still integral framing (1920/480)
+    n_fft, hop = 1280 * scale, 320 * scale
+    assert n_fft == int(n_fft) and hop == int(hop), f"unsupported rate {sr}"
     n = min(len(wav_a), len(wav_b))
     a = jnp.asarray(wav_a[:n], jnp.float32)[None]
     b = jnp.asarray(wav_b[:n], jnp.float32)[None]
-    kw = dict(sr=sr, n_fft=1280 * scale, hop=320 * scale,
-              win_length=1280 * scale, fmax=8000.0 * scale)
+    kw = dict(sr=sr, n_fft=int(n_fft), hop=int(hop),
+              win_length=int(n_fft), fmax=8000.0 * scale)
     mel_a = mel_spectrogram_fixed(a, **kw)
     mel_b = mel_spectrogram_fixed(b, **kw)
     return float(jnp.mean(jnp.abs(mel_a - mel_b)))
@@ -79,16 +80,24 @@ def main():
         # upsample the lower-rate wav with the kaiser-sinc AA resampler so
         # cross-rate comparisons (e.g. SpeechSR 48k output vs its 16k input)
         # share one framing
-        from megatts2_hierspeechpp_tpu.ops.resample import upsample1d
+        from math import gcd
+
+        from megatts2_hierspeechpp_tpu.ops.resample import (
+            downsample1d,
+            upsample1d,
+        )
 
         lo_is_a = sr_a < sr_b
         lo, hi = (sr_a, sr_b) if lo_is_a else (sr_b, sr_a)
-        assert hi % lo == 0, (sr_a, sr_b)
-        ratio = hi // lo
+        g = gcd(hi, lo)
+        up_f, down_f = hi // g, lo // g  # e.g. 24k vs 16k -> up 3, down 2
         wav_lo = a if lo_is_a else b
-        up = np.asarray(upsample1d(
-            jnp.asarray(wav_lo, jnp.float32)[None, :, None], ratio=ratio
-        ))[0, :, 0]
+        x = jnp.asarray(wav_lo, jnp.float32)[None, :, None]
+        if up_f > 1:
+            x = upsample1d(x, ratio=up_f)
+        if down_f > 1:
+            x = downsample1d(x, ratio=down_f)
+        up = np.asarray(x)[0, :, 0]
         a, b = (up, b) if lo_is_a else (a, up)
         sr_a = sr_b = hi
     out = {"mel_l1": mel_l1(a, b, sr=sr_a)}

@@ -10,7 +10,9 @@ Serving design (TPU): the hot path is THREE device dispatches per utterance —
   w2v/f0 generation -> pitch clip] -> [vocoder VC jit (+SpeechSR jit)]
 
 Each stage is a `jax.jit` whose executable is cached per shape bucket (text
-length, prompt length and frame budget are padded onto coarse grids), so
+length and frame budget are padded onto coarse grids; prompt length pads to
+the reference's 100 ms grid by default, or a 1 s grid with
+`prepare_prompt(bucket=True)` for many-speaker serving), so
 repeated calls re-use compiled programs; with the persistent compilation cache
 (utils/runtime.enable_compile_cache) executables survive process restarts.
 Scalars that vary per request (length_scale, noise_scale, denoise_ratio, PRNG
@@ -298,14 +300,24 @@ class TTSPipeline:
         return np.asarray(out)[0]
 
     def prepare_prompt(
-        self, prompt_audio: np.ndarray, denoise_ratio: float = 0.0
+        self, prompt_audio: np.ndarray, denoise_ratio: float = 0.0,
+        bucket: bool = False,
     ) -> PromptFeatures:
         """Prompt prep (inference_plm.py:131-156): pad to a 1600 multiple for
         the mel/denoiser hops, mel for TTV on the padded audio, optional
         denoise, then mel of [orig; denoised] (padding stripped) for style
-        interpolation. Compute once per prompt and reuse across requests."""
+        interpolation. Compute once per prompt and reuse across requests.
+
+        Prompt-length shapes feed the duration/acoustic/vocode jits, so every
+        distinct padded length compiles fresh executables. The default 1600
+        (100 ms) grid reproduces the reference numerically; serving
+        deployments with many enrolled speakers should pass bucket=True to
+        round prompt lengths onto a coarse 1 s grid instead (zero-pad beyond
+        the reference's — slight style-vector deviation, bounded compile
+        count)."""
         t_a = len(prompt_audio)
-        pad = (t_a // 1600 + 1) * 1600 - t_a
+        grid = 16000 if bucket else 1600
+        pad = (t_a // grid + 1) * grid - t_a
         padded = np.pad(prompt_audio, (0, pad))
         mel_ttv = self.prompt_mel(padded)
 
@@ -369,6 +381,17 @@ class TTSPipeline:
             *args, out_budget=2 * t_voc, top_k=top_k, mode=mode
         )
 
+        if return_intermediates:
+            # the vocode jit donates its w2v/f0 buffers, and with the
+            # duration pre-pass the slices below are full-extent (may alias
+            # the donated buffer): materialize host copies BEFORE the call
+            inter_host = dict(
+                x_frame=np.asarray(x_frame)[:, :t_frames],
+                codes=np.asarray(codes_out)[:, :t_frames],
+                w2v=np.asarray(w2v_pred)[:, :t_frames],
+                lf0=np.asarray(pred_lf0)[:, : 4 * t_frames],
+                frame_lengths=t_frames,
+            )
         wav = self._stage("vocode")(
             self.vocoder_params,
             w2v_pred[:, :t_voc],
@@ -390,13 +413,7 @@ class TTSPipeline:
         peak = np.abs(wav).max()
         out = (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
         if return_intermediates:
-            return out, dict(
-                x_frame=np.asarray(x_frame)[:, :t_frames],
-                codes=np.asarray(codes_out)[:, :t_frames],
-                w2v=np.asarray(w2v_pred)[:, :t_frames],
-                lf0=np.asarray(pred_lf0)[:, : 4 * t_frames],
-                frame_lengths=t_frames,
-            )
+            return out, inter_host
         return out
 
     def tts_stream(
@@ -557,7 +574,20 @@ class TTSPipeline:
     ) -> list:
         """Batched request path: pad all texts to one bucket, run the acoustic
         and vocoder stages at B=len(texts), slice per-utterance wavs. One
-        prompt shared across the batch (the zero-shot serving shape)."""
+        prompt shared across the batch (the zero-shot serving shape).
+
+        Unknown kwargs raise (rather than silently producing different audio
+        than the equivalent tts() call — e.g. a dropped output_sr)."""
+        supported = {"denoise_ratio", "noise_scale_vc", "length_scale",
+                     "seed", "top_k", "use_plm", "output_sr"}
+        unknown = set(kw) - supported
+        if unknown:
+            raise ValueError(
+                f"tts_batch does not support kwargs {sorted(unknown)}; "
+                "use tts() for per-request options")
+        output_sr = kw.get("output_sr", 16000)
+        if output_sr != 16000 and self.speechsr is None:
+            raise ValueError(f"output_sr={output_sr} needs a SpeechSR model")
         if prompt is None:
             assert prompt_audio is not None
             prompt = self.prepare_prompt(prompt_audio, kw.get("denoise_ratio", 0.0))
@@ -602,10 +632,15 @@ class TTSPipeline:
             jax.random.PRNGKey(seed + 1),
             jnp.float32(kw.get("denoise_ratio", 0.0)),
         )
+        if output_sr in (24000, 48000):
+            wav = self._stage("sr")(self.speechsr_params, wav)
+            ratio = 3 if output_sr == 48000 else 1.5
+        else:
+            ratio = 1
         wav = np.asarray(wav)
         outs = []
         for i in range(b):
-            w = wav[i, : 320 * int(t_frames[i]), 0]
+            w = wav[i, : int(320 * int(t_frames[i]) * ratio), 0]
             peak = np.abs(w).max()
             outs.append((w / max(peak, 1e-8) * 0.999).astype(np.float32))
         return outs
@@ -669,6 +704,9 @@ class TTSPipeline:
         lf0 = jnp.asarray(denorm_lf0[: 4 * t_frames], jnp.float32)
         if lf0.shape[0] < 4 * t_frames:
             lf0 = jnp.pad(lf0, (0, 4 * t_frames - lf0.shape[0]))
+        # the vocode jit donates its w2v buffer: materialize the copy the
+        # return_intermediates contract needs BEFORE the call
+        w2v_host = np.asarray(w2v) if return_intermediates else None
         wav = self._stage("vocode")(
             self.vocoder_params, w2v, mask, trg_mel, lf0[None, :, None],
             jnp.float32(noise_scale_vc), jax.random.PRNGKey(seed),
@@ -681,7 +719,7 @@ class TTSPipeline:
         out = (wav / max(peak, 1e-8) * 0.999).astype(np.float32)
         if return_intermediates:
             return out, dict(
-                w2v=np.asarray(w2v), lf0=denorm_lf0, t_frames=t_frames,
+                w2v=w2v_host, lf0=denorm_lf0, t_frames=t_frames,
             )
         return out
 

@@ -18,11 +18,20 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 import numpy as np
+
+# kwargs tts_batch supports with identical semantics to tts(); requests with
+# anything else (codes=..., exact=..., return_intermediates=...) run as
+# singletons through tts() — never silently dropped by the batch path
+_BATCHABLE_KW = frozenset({
+    "denoise_ratio", "noise_scale_vc", "length_scale", "seed", "top_k",
+    "use_plm", "output_sr",
+})
 
 
 @dataclass
@@ -65,13 +74,17 @@ class TTSServer:
     # ---------------- worker ----------------
 
     def _drain(self, first: _Request) -> list:
-        """Collect up to max_batch requests, waiting at most max_wait for
-        stragglers after the first arrival."""
+        """Collect up to max_batch requests, waiting at most max_wait TOTAL
+        for stragglers after the first arrival (absolute deadline — a
+        trickle of stragglers must not extend the window)."""
         batch = [first]
-        deadline = self.max_wait
+        deadline = time.monotonic() + self.max_wait
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._q.get(timeout=deadline)
+                nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -87,12 +100,18 @@ class TTSServer:
                 return
             batch = self._drain(req)
             # group by (prompt, sampling params): tts_batch shares one prompt
-            # and one scalar set across the rows
+            # and one scalar set across the rows; requests carrying
+            # non-batchable kwargs (arrays, exact mode, ...) stay singletons
+            # — their values may be unhashable and tts_batch rejects them
             groups: Dict[tuple, list] = {}
+            singles: list = []
             for r in batch:
-                key = (r.prompt_key, tuple(sorted(r.kw.items())))
-                groups.setdefault(key, []).append(r)
-            for rs in groups.values():
+                if set(r.kw) <= _BATCHABLE_KW:
+                    key = (r.prompt_key, tuple(sorted(r.kw.items())))
+                    groups.setdefault(key, []).append(r)
+                else:
+                    singles.append([r])
+            for rs in list(groups.values()) + singles:
                 try:
                     if len(rs) == 1:
                         r = rs[0]

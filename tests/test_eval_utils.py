@@ -53,3 +53,16 @@ def test_mel_l1_sr_scaled_framing():
     b48 = rng.standard_normal(48000).astype(np.float32) * 0.3
     d = mel_l1(a48, b48, sr=48000)
     assert 0.05 < d < 20.0
+
+
+def test_mel_l1_24k():
+    """24 kHz is a first-class pipeline output rate (in-repo SpeechSR 24k
+    checkpoints): framing 1920/480 must be accepted (regression: an
+    sr % 16000 == 0 assert rejected it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(24000).astype(np.float32) * 0.2
+    assert mel_l1(a, a, sr=24000) < 1e-6
+    b = rng.standard_normal(24000).astype(np.float32) * 0.2
+    assert mel_l1(a, b, sr=24000) > 0.05
