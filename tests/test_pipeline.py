@@ -179,6 +179,22 @@ def test_tts_stream_48k_matches_full(pipeline):
 
 
 @pytest.mark.slow
+def test_tts_batch_output_sr(pipeline):
+    """tts_batch honors output_sr (a batched request must not silently come
+    back at a different rate than the equivalent tts() call) and rejects
+    kwargs it can't honor."""
+    prompt = (np.random.default_rng(9).uniform(-0.3, 0.3, 32000)).astype(np.float32)
+    texts = ["sil zh ang1 h ao3 sp", "sil zh ang1 sp"]
+    w16 = pipeline.tts_batch(texts, prompt_audio=prompt, seed=2)
+    w48 = pipeline.tts_batch(texts, prompt_audio=prompt, seed=2,
+                             output_sr=48000)
+    for a, b in zip(w16, w48):
+        assert abs(len(b) - 3 * len(a)) <= 3
+    with pytest.raises(ValueError, match="does not support"):
+        pipeline.tts_batch(texts, prompt_audio=prompt, exact=True)
+
+
+@pytest.mark.slow
 def test_tts_server_batches_shared_prompt(pipeline):
     """Request-queue serving: concurrent same-prompt requests coalesce into
     one tts_batch device call; results equal the direct calls."""
