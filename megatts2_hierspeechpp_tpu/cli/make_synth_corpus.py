@@ -151,6 +151,7 @@ def main():
                for ph in all_phones}
 
     rows = []
+    ar_rows = []
     for i in range(args.n):
         utt = synth_utterance(rng, profiles, w2v_emb, mel_fn)
         base = os.path.join(args.out_dir, f"utt{i:04d}")
@@ -160,12 +161,34 @@ def main():
         np.save(base + ".hw2v.npy", utt["w2v"])
         np.save(base + ".dur.npy", utt["dur"])
         rows.append(f"{base}.wav|spk{i % 8}|{utt['text']}")
+        ar_rows.append((utt["text"], utt["dur"]))
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{args.n}")
 
     trans = os.path.join(args.out_dir, "trans.txt")
     with open(trans, "w", encoding="utf-8") as f:
         f.write("\n".join(rows) + "\n")
+    # AR-stack sidecars (2-name2text.txt / 6-name2semantic.tsv): 25 Hz
+    # semantic ids as a learnable function of phone identity (stable per-phone
+    # base id + within-phone position), ~ceil(dur/4) tokens per phone so the
+    # 3..25 tokens-per-phone ratio filter passes
+    sem_base = {ph: 37 * i % 1000 for i, ph in enumerate(all_phones)}
+    with open(os.path.join(args.out_dir, "2-name2text.txt"), "w",
+              encoding="utf-8") as ft, \
+         open(os.path.join(args.out_dir, "6-name2semantic.tsv"), "w",
+              encoding="utf-8") as fs:
+        for i, (text, dur) in enumerate(ar_rows):
+            name = f"utt{i:04d}"
+            # bare phones: the AR dataset maps tokens through SYMBOL_TO_ID,
+            # which has no tone-digit variants
+            phones = [t.rstrip("0123456789") for t in text.split()[:-1]]
+            sem = []
+            for ph, d in zip(phones, dur):
+                n_tok = max(1, -(-int(round(d * 100)) // 3))  # ~4 tok/phone
+                base = sem_base.get(ph, 0)
+                sem.extend((base + min(j, 23)) % 1024 for j in range(n_tok))
+            ft.write(f"{name}\t{' '.join(phones)}\n")
+            fs.write(f"{name}\t{' '.join(map(str, sem))}\n")
     with open(os.path.join(args.out_dir, "train_list.txt"), "w") as f:
         f.write(trans + "\n")
     with open(os.path.join(args.out_dir, "config.json"), "w") as f:

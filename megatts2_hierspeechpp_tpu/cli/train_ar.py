@@ -39,6 +39,10 @@ def main():
     p.add_argument("--total_steps", type=int, default=200000)
     p.add_argument("--grad_accum", type=int, default=4)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--pad_multiple", type=int, default=64,
+                   help="collate length rounding: each distinct padded shape "
+                        "is a separate XLA compile (minutes over the device "
+                        "tunnel), so keep this coarse for real runs")
     args = p.parse_args()
 
     model_dir = os.path.join(args.logs_dir, args.model)
@@ -73,7 +77,8 @@ def main():
 
         def batches(epoch):
             for idx in sampler.epoch_batches(epoch):
-                yield collate([ds[i] for i in idx])
+                yield collate([ds[i] for i in idx],
+                              pad_multiple=args.pad_multiple)
 
         run_training(
             state, train_step, batches, model_dir,
