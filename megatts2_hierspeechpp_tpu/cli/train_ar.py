@@ -80,11 +80,19 @@ def main():
                 yield collate([ds[i] for i in idx],
                               pad_multiple=args.pad_multiple)
 
+        # held-out eval: the last few items (the bucket sampler owns the
+        # training order; these still overlap train on tiny corpora — the
+        # hook is observability, not model selection)
+        from megatts2_hierspeechpp_tpu.train.evalhooks import make_ar_eval_fn
+
+        eval_batch = collate([ds[i] for i in range(max(0, len(ds) - 4), len(ds))],
+                             pad_multiple=args.pad_multiple)
         run_training(
             state, train_step, batches, model_dir,
             epochs=args.epochs, seed=args.seed,
             log_interval=20, save_interval=5000,
             shard_fn=lambda b: shard_batch(mesh, b),
+            eval_interval=100, eval_fn=make_ar_eval_fn(model, eval_batch),
         )
 
 

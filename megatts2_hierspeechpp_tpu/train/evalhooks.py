@@ -118,6 +118,27 @@ def make_vocoder_eval_fn(voc, eval_batch: Dict[str, np.ndarray],
     return eval_fn
 
 
+def make_ar_eval_fn(model, eval_batch: Dict[str, np.ndarray]) -> Callable:
+    """Held-out CE loss + top-10 accuracy for the AR (text-to-semantic)
+    trainer — same observability contract as the other CLIs."""
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    @jax.jit
+    def _run(params):
+        out = model.apply(
+            {"params": params},
+            batch["x_ids"], batch["x_lens"], batch["y_ids"], batch["y_lens"],
+            batch["bert_feature"], deterministic=True,
+        )
+        return out["loss"], out["acc"]
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        loss, acc = _run(state.params)
+        return {"t2s_loss": float(loss), "t2s_acc_top10": float(acc)}
+
+    return eval_fn
+
+
 def make_s1_eval_fn(ttv: TTVModel, plm: ProsodyLM,
                     eval_batch: Dict[str, np.ndarray]) -> Callable:
     """Held-out PLM CE loss + top-10 accuracy at fixed shapes (the s1
