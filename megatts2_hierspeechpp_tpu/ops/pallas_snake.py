@@ -259,8 +259,15 @@ def fused_aa_snakebeta(
     """x: (B, T, C); alpha/beta: (C,) post-exp. Pallas path (TPU).
 
     Differentiable: forward runs the fused kernel, backward is the vjp of the
-    equivalent composed math (custom_vjp)."""
+    equivalent composed math (custom_vjp). Exact vs the composed path
+    EVERYWHERE: kernel interiors by construction; the first/last ~4 samples
+    (where the kernel replicates x once while the composed op edge-replicates
+    twice, once per resample) are overwritten from the composed math on tiny
+    strips via in-place updates."""
     b, t, c = x.shape
+    edge = 8  # > the x2 kaiser filters' one-sided reach
+    if t <= 4 * edge:
+        return _composed_math(x, alpha, beta)
     # VMEM budget: ~10 live (tile, C) f32 buffers (3 in blocks + concat +
     # ue/uo/se/so + out) must fit the 16 MB scoped limit; the small-C
     # transpose staging pads C up to 128 lanes, so budget with c >= 128
@@ -269,5 +276,10 @@ def fused_aa_snakebeta(
         # rare non-divisible case: pad once to a tile multiple
         t_pad = (-(-t // tile_t)) * tile_t
         xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
-        return _fused(xp, alpha, beta, tile_t)[:, :t]
-    return _fused(x, alpha, beta, tile_t)
+        core = _fused(xp, alpha, beta, tile_t)[:, :t]
+    else:
+        core = _fused(x, alpha, beta, tile_t)
+    head = _composed_math(x[:, : 2 * edge], alpha, beta)[:, :edge]
+    tail = _composed_math(x[:, -2 * edge:], alpha, beta)[:, edge:]
+    core = core.at[:, :edge].set(head.astype(core.dtype))
+    return core.at[:, t - edge:].set(tail.astype(core.dtype))

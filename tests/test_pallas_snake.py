@@ -39,11 +39,9 @@ def test_fused_matches_composed_interior(shape, interpret_pallas):
     )
     out = psn.fused_aa_snakebeta(x, alpha, beta)
     d = np.abs(np.asarray(out) - np.asarray(ref))
-    # interior bit-matches; the first/last ~3 samples differ because the
-    # composed op edge-replicates twice (x for up, u for down) while the fused
-    # op replicates x once — inaudible utterance-boundary difference
-    assert d[:, 4:-4, :].max() < 5e-6, d[:, 4:-4, :].max()
-    assert d.max() < 5e-2
+    # exact EVERYWHERE: interior from the kernel, utterance-edge strips
+    # stitched from the composed math (in-place updates)
+    assert d.max() < 5e-6, d.max()
 
 
 @pytest.mark.parametrize("shape", [(1, 512, 16), (1, 512, 256)])
