@@ -287,6 +287,26 @@ class TTSPipeline:
         """Compiled-executable count per stage (tests assert one per bucket)."""
         return {k: v._cache_size() for k, v in self._jits.items()}
 
+    def _check_output_sr(self, output_sr: int) -> float:
+        """Validate output_sr against the ATTACHED SpeechSR model and return
+        the sample-count ratio vs the native 16 kHz.
+
+        The reference couples these only by CLI convention (inference_plm.py
+        picks the ckpt from --output_sr); here a 24k-model pipeline asked for
+        48 kHz raises instead of silently returning wrong-rate audio."""
+        if output_sr == 16000:
+            return 1.0
+        if self.speechsr is None:
+            raise ValueError(f"output_sr={output_sr} needs a SpeechSR model")
+        num, den = self.speechsr.rate_num, self.speechsr.rate_den
+        model_sr = 16000 * num // den
+        if output_sr != model_sr:
+            raise ValueError(
+                f"output_sr={output_sr} does not match the loaded SpeechSR "
+                f"model (x{num}/{den} -> {model_sr} Hz); load the matching "
+                "checkpoint or request output_sr=16000")
+        return num / den
+
     # ---------- feature front-ends ----------
 
     def prompt_mel(self, audio: np.ndarray) -> jnp.ndarray:
@@ -347,6 +367,7 @@ class TTSPipeline:
         codes: Optional[np.ndarray] = None,
         return_intermediates: bool = False,
     ):
+        ratio = self._check_output_sr(output_sr)  # fail fast, before compute
         if prompt is None:
             assert prompt_audio is not None, "need prompt_audio or prompt features"
             prompt = self.prepare_prompt(prompt_audio, denoise_ratio)
@@ -403,9 +424,8 @@ class TTSPipeline:
             jnp.float32(denoise_ratio),
         )
 
-        if output_sr in (24000, 48000) and self.speechsr is not None:
+        if ratio != 1.0:
             up = self._stage("sr")(self.speechsr_params, wav)
-            ratio = output_sr // 16000 if output_sr == 48000 else 1.5
             wav = np.asarray(up)[0, : int(320 * t_frames * ratio), 0]
         else:
             wav = np.asarray(wav)[0, : 320 * t_frames, 0]
@@ -541,10 +561,9 @@ class TTSPipeline:
                 emitted += take
                 yield chunk[:take].astype(np.float32)
 
-        if output_sr == 16000:
+        if self._check_output_sr(output_sr) == 1.0:
             yield from raw_chunks()
             return
-        assert output_sr in (24000, 48000) and self.speechsr is not None
         hs = sr_halo
 
         def sr_piece(mid, left, right):
@@ -559,6 +578,13 @@ class TTSPipeline:
         prev, prev_left = None, None
         for r in raw_chunks():
             if prev is not None:
+                if len(r) < hs:
+                    # a too-short final raw chunk can't supply a full right
+                    # halo (the SR stack's receptive field): absorb it into
+                    # the previous piece, emitted edge-aligned at the end
+                    # (round-2 ADVICE #5)
+                    prev = np.concatenate([prev, r])
+                    continue
                 yield sr_piece(prev, prev_left, r[:hs])
                 prev_left = prev[-hs:]
             prev = r
@@ -586,8 +612,7 @@ class TTSPipeline:
                 f"tts_batch does not support kwargs {sorted(unknown)}; "
                 "use tts() for per-request options")
         output_sr = kw.get("output_sr", 16000)
-        if output_sr != 16000 and self.speechsr is None:
-            raise ValueError(f"output_sr={output_sr} needs a SpeechSR model")
+        ratio = self._check_output_sr(output_sr)
         if prompt is None:
             assert prompt_audio is not None
             prompt = self.prepare_prompt(prompt_audio, kw.get("denoise_ratio", 0.0))
@@ -632,11 +657,8 @@ class TTSPipeline:
             jax.random.PRNGKey(seed + 1),
             jnp.float32(kw.get("denoise_ratio", 0.0)),
         )
-        if output_sr in (24000, 48000):
+        if ratio != 1.0:
             wav = self._stage("sr")(self.speechsr_params, wav)
-            ratio = 3 if output_sr == 48000 else 1.5
-        else:
-            ratio = 1
         wav = np.asarray(wav)
         outs = []
         for i in range(b):
@@ -712,7 +734,7 @@ class TTSPipeline:
             jnp.float32(noise_scale_vc), jax.random.PRNGKey(seed),
             jnp.float32(denoise_ratio),
         )
-        if output_sr in (24000, 48000) and self.speechsr is not None:
+        if self._check_output_sr(output_sr) != 1.0:
             wav = self._stage("sr")(self.speechsr_params, wav)
         wav = np.asarray(wav)[0, :, 0]
         peak = np.abs(wav).max()

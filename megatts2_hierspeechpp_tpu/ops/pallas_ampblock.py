@@ -1,4 +1,4 @@
-"""Fused whole-AMPBlock — Pallas TPU kernel (C <= 64 stages).
+"""Fused whole-AMPBlock — Pallas TPU kernel (C <= 128 stages).
 
 One AMPBlock branch is AA-snake -> dilated WN-conv -> AA-snake -> WN-conv ->
 residual add, and a block chains three branches (d = 1, 3, 5). Composed, that
@@ -131,10 +131,15 @@ def _kernel(x_prev, x_cur, x_next, a1, ib1, w1, b1, a2, ib2, w2, b2, o_ref,
 
 
 def _pick_tile(t: int, tile_t: int) -> int:
-    """Largest multiple-of-HALO divisor of t that is <= tile_t (else tile_t,
-    triggering a one-off remainder pad)."""
+    """Largest multiple-of-HALO divisor of t that is <= tile_t (else a HALO
+    multiple, triggering a one-off remainder pad).
+
+    Every return value is a HALO multiple: the halo BlockSpec index maps in
+    _pallas_forward assume tile_t % HALO == 0 — floor the incoming VMEM cap
+    first so a non-power-of-two C can't yield a misaligned tile."""
+    tile_t = max(HALO, tile_t - tile_t % HALO)
     if t <= tile_t:
-        return t if t % HALO == 0 else tile_t
+        return min(-(-t // HALO) * HALO, tile_t)
     for cand in range(tile_t, HALO - 1, -HALO):
         if t % cand == 0:
             return cand
@@ -147,6 +152,7 @@ def _pallas_forward(x, a1, ib1, w1, b1, a2, ib2, w2, b2, kernel_size,
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, c = x.shape
+    assert tile_t % HALO == 0 and t % tile_t == 0, (tile_t, t)
     n_tiles = t // tile_t
     kernel = functools.partial(
         _kernel, tile_t=tile_t, kernel_size=kernel_size, dilations=dilations)
@@ -226,7 +232,7 @@ def fused_ampblock(
 ) -> jnp.ndarray:
     """Whole-AMPBlock fused Pallas op. Differentiable (composed-math vjp).
 
-    x: (B, T, C) with C <= 64; weights per docstring of composed_ampblock.
+    x: (B, T, C) with C <= 128; weights per docstring of composed_ampblock.
 
     Matches the composed path EVERYWHERE to float accumulation: the kernel's
     interior is exact by construction (real-sample halos), and the first/last
@@ -238,7 +244,9 @@ def fused_ampblock(
     b, t, c = x.shape
     ws = (a1, ib1, w1, b1, a2, ib2, w2, b2)
     e = _shrink(kernel_size, dilations)
-    if t <= 4 * e:  # too short for a meaningful fused interior
+    if t <= 4 * e or e > HALO:
+        # too short for a meaningful fused interior, or the receptive field
+        # exceeds the halo blocks (k>11 / larger dilations): composed path
         return composed_ampblock(x, *ws, kernel_size, dilations)
 
     # VMEM: ~6 live (C, tile+256) f32 buffers + stacked weights ((n, k, C, C)

@@ -34,11 +34,18 @@ TILE_T = 2048
 
 
 def _pick_tile(t: int, tile_t: int) -> int:
-    """Largest divisor of t that is <= tile_t and a multiple of 8 (falls back
-    to tile_t, triggering a one-off remainder pad)."""
+    """Largest divisor of t that is <= tile_t and a multiple of HALO (falls
+    back to a HALO multiple, triggering a one-off remainder pad).
+
+    Every return value is a HALO multiple: the neighbor-halo BlockSpec index
+    maps in _pallas_forward assume tile_t % HALO == 0 (k_halo = tile_t //
+    HALO) — a non-multiple would silently misalign halo rows."""
+    tile_t = max(HALO, tile_t - tile_t % HALO)
     if t <= tile_t:
-        return max(8, t)
-    for cand in range(tile_t, 7, -8):
+        # ceil t to a HALO multiple; if that overflows the cap the caller's
+        # remainder-pad path handles it (t % tile_t != 0)
+        return min(-(-t // HALO) * HALO, tile_t)
+    for cand in range(tile_t, HALO - 1, -HALO):
         if t % cand == 0:
             return cand
     return tile_t
@@ -190,6 +197,7 @@ def _pallas_forward(x, alpha, beta, tile_t):
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, c = x.shape
+    assert tile_t % HALO == 0 and t % tile_t == 0, (tile_t, t)
     n_tiles = t // tile_t
 
     ab = jnp.stack(

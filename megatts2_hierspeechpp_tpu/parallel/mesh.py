@@ -45,10 +45,19 @@ def init_distributed():
 
     Replaces the reference's torch.distributed NCCL env:// rendezvous
     (train_ms.py:106) with jax.distributed (coordinator from env vars
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID or TPU
-    metadata on Cloud TPU pods).
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU
+    metadata auto-detection on Cloud TPU pods — this jax build does not read
+    the env vars itself, so pass them explicitly when present).
+
+    Exercised for real (2 OS processes, coordinator rendezvous + one
+    cross-process AllReduce) by tools/smoke_distributed.py /
+    tests/test_distributed_smoke.py.
     """
     import os
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )

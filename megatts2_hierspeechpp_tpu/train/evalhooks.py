@@ -108,9 +108,11 @@ def make_vocoder_eval_fn(voc, eval_batch: Dict[str, np.ndarray],
         if plot:
             out = os.path.join(model_dir, "eval")
             n0 = int(eval_batch["lengths"][0])
+            # e_ predicts log1p(f0) (~0-6); bring it back to Hz so both
+            # curves share a scale on the overlay (round-2 ADVICE #4)
             save_f0_plot(
                 eval_batch["f0"][0, : 4 * n0],
-                np.asarray(e_)[0, : 4 * n0, 0],
+                np.expm1(np.asarray(e_)[0, : 4 * n0, 0]),
                 os.path.join(out, f"excitation_{step}.png"),
             )
         return scalars

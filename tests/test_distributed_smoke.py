@@ -1,0 +1,29 @@
+"""Two-process jax.distributed smoke (VERDICT r2 next-round #10).
+
+Runs tools/smoke_distributed.py: two OS processes, a real coordinator
+rendezvous through parallel.mesh.init_distributed(), one global 2-device mesh,
+and one cross-process AllReduce. This exercises the multi-host coordination
+path the in-process virtual 8-device mesh cannot — the capability that
+replaces the reference's hardcoded-localhost torch.distributed bring-up
+(/root/reference/train_ms.py:85-86).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_two_process_psum():
+    env = dict(os.environ)
+    env["SMOKE_DIST_PORT"] = "56417"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "smoke_distributed.py")],
+        env=env, capture_output=True, text=True, timeout=350,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "SMOKE_DISTRIBUTED PASS" in out.stdout
+    assert out.stdout.count("psum ok (24.0)") == 2

@@ -69,3 +69,34 @@ def test_fused_gradients_match_composed(shape, interpret_pallas):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
             err_msg=f"grad wrt {name}")
+
+
+def test_pick_tile_always_halo_aligned():
+    """ADVICE r2: a VMEM cap that is not a HALO multiple (non-power-of-two C,
+    e.g. 262144//192 = 1365) must never yield a misaligned tile."""
+    from megatts2_hierspeechpp_tpu.ops import pallas_ampblock as pab
+
+    for mod in (psn, pab):
+        for t in (7, 64, 100, 1365, 4096, 6000, 48000, 131072):
+            for cap in (1365, 131072 // 96, 262144 // 192, 2048, 9, 100):
+                tile = mod._pick_tile(t, cap)
+                assert tile % mod.HALO == 0, (mod.__name__, t, cap, tile)
+                assert tile >= mod.HALO
+                # tile must not exceed the HALO-floored cap
+                assert tile <= max(mod.HALO, cap - cap % mod.HALO)
+
+
+def test_fused_non_power_of_two_channels(interpret_pallas):
+    """C=192 with t above the VMEM cap exercises the previously-misaligned
+    fallback path end-to-end."""
+    rng = np.random.default_rng(3)
+    c = 192
+    t = 2000  # > 262144//192 = 1365 -> capped, non-divisor fallback + pad
+    x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+    alpha = jnp.asarray(np.exp(rng.standard_normal(c) * 0.3), jnp.float32)
+    beta = jnp.asarray(np.exp(rng.standard_normal(c) * 0.3), jnp.float32)
+    got = psn.fused_aa_snakebeta(x, alpha, beta)
+    want = activation1d(
+        x, lambda v: v + jnp.square(jnp.sin(v * alpha)) / (beta + 1e-9))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
