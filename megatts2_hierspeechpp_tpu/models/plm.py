@@ -206,11 +206,22 @@ def decode(
     top_k: int = 0,
     temperature: float = 1.0,
 ) -> jnp.ndarray:
-    """KV-cached AR decode. params: ProsodyLM 'params' dict;
+    """Fused KV-cached AR decode. params: ProsodyLM 'params' dict;
     tc_latent: (B, T, 256) -> codes (B, T) int32.
 
     Greedy when top_k == 0 (matches the reference greedy infer exactly);
     top-k sampling with temperature otherwise.
+
+    Step-fusion over decode_unfused (the round-2 B=1 serving bottleneck,
+    ~15k tok/s of overhead-dominated tiny matmuls):
+      - q/k/v projections merge into ONE (B, d) @ (d, 3d) matmul per layer
+        (identical per-column reductions -> bitwise-equal outputs);
+      - the (L, B, H, T, hd) caches update IN PLACE via a sequential
+        dynamic_update_slice chain on the scan carry — the old per-layer
+        jnp.stack rebuilt both whole caches every step (~2 L·B·H·T·hd floats
+        of pure copy traffic per token: ~35 MB/step at T=4000);
+      - positional-encoding rows ride the scan xs instead of a per-step
+        gather.
     """
     b, t, _ = tc_latent.shape
     emb_table = params["pc_embedding"]["embedding"]
@@ -218,10 +229,94 @@ def decode(
     hd = d // n_heads
     pe = sine_positions(t, d)
     pos_alpha = params["pos_alpha"]
+    hp = jax.lax.Precision.HIGHEST
+
+    # merged/stacked layer weights (built once per call, outside the scan)
+    lps = [params[f"layer_{i}"] for i in range(n_layers)]
+    wqkv = jnp.stack([
+        jnp.concatenate([lp["w_q"]["kernel"], lp["w_k"]["kernel"],
+                         lp["w_v"]["kernel"]], axis=1) for lp in lps])
+    bqkv = jnp.stack([
+        jnp.concatenate([lp["w_q"]["bias"], lp["w_k"]["bias"],
+                         lp["w_v"]["bias"]]) for lp in lps])
 
     # cache dtype must match what the dense projections PRODUCE: bf16 inputs
     # with f32 params promote to f32 (the serving pipeline feeds bf16
     # tc_latent from a bf16 TTV)
+    k_cache = jnp.zeros((n_layers, b, n_heads, t, hd),
+                        jnp.result_type(tc_latent.dtype, emb_table.dtype))
+    v_cache = jnp.zeros_like(k_cache)
+    prev = jnp.full((b,), go_id, jnp.int32)
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
+
+    positions = jnp.arange(t)
+
+    def step(carry, inp):
+        k_cache, v_cache, prev, rng_c = carry
+        step_t, tc_t, pe_t = inp
+        pc = jnp.take(emb_table, prev, axis=0)
+        x = jnp.concatenate([tc_t, pc], axis=-1) + pos_alpha * pe_t
+
+        for i in range(n_layers):
+            lp = lps[i]
+            yn = _ln(lp["norm1"], x)
+            qkv = jnp.dot(yn, wqkv[i], precision=hp) + bqkv[i]  # (B, 3d)
+            q = qkv[:, :d].reshape(b, n_heads, hd)
+            k = qkv[:, d: 2 * d].reshape(b, n_heads, hd)
+            v = qkv[:, 2 * d:].reshape(b, n_heads, hd)
+            # in-place single-row writes on the carried caches (XLA aliases
+            # the sequential def-use chain; no whole-cache copies)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k[None, :, :, None, :].astype(k_cache.dtype),
+                (i, 0, 0, step_t, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v[None, :, :, None, :].astype(v_cache.dtype),
+                (i, 0, 0, step_t, 0))
+            kc, vc = k_cache[i], v_cache[i]  # (B, H, T, hd)
+            scores = jnp.einsum("bhd,bhkd->bhk", q, kc) / math.sqrt(hd)
+            scores = jnp.where(positions[None, None, :] <= step_t, scores, NEG_INF)
+            p = jax.nn.softmax(scores, axis=-1)
+            att = jnp.einsum("bhk,bhkd->bhd", p, vc).reshape(b, d)
+            x = x + _dense(lp["out_proj"], att)
+            yn = _ln(lp["norm2"], x)
+            x = x + _dense(lp["ff_1"], jax.nn.relu(_dense(lp["ff_0"], yn)))
+
+        logits = _dense(params["predict_layer"], x)  # (B, bins)
+        if top_k > 0:
+            rng_c, sub = jax.random.split(rng_c)
+            vals, idxs = jax.lax.top_k(logits / temperature, top_k)
+            choice = jax.random.categorical(sub, vals, axis=-1)
+            nxt = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        return (k_cache, v_cache, nxt, rng_c), nxt
+
+    inputs = (positions, jnp.swapaxes(tc_latent, 0, 1), pe)
+    (_, _, _, _), codes = jax.lax.scan(step, (k_cache, v_cache, prev, rng0), inputs)
+    return jnp.swapaxes(codes, 0, 1)
+
+
+def decode_unfused(
+    params: dict,
+    tc_latent: jnp.ndarray,
+    n_layers: int = 4,
+    n_heads: int = 4,
+    go_id: int = 1024,
+    rng: Optional[jax.Array] = None,
+    top_k: int = 0,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Round-2 decode (separate q/k/v matmuls; per-step jnp.stack cache
+    rebuild). Kept as the A/B yardstick for the fused `decode`
+    (tools/bench_plm_decode.py) and as a second parity witness."""
+    b, t, _ = tc_latent.shape
+    emb_table = params["pc_embedding"]["embedding"]
+    d = tc_latent.shape[-1] + emb_table.shape[-1]
+    hd = d // n_heads
+    pe = sine_positions(t, d)
+    pos_alpha = params["pos_alpha"]
+
     k_cache = jnp.zeros((n_layers, b, n_heads, t, hd),
                         jnp.result_type(tc_latent.dtype, emb_table.dtype))
     v_cache = jnp.zeros_like(k_cache)

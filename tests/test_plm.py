@@ -86,6 +86,24 @@ def test_kv_decode_accepts_bf16_latents(models):
     del f32
 
 
+def test_fused_decode_matches_unfused(models):
+    """The fused step (merged QKV, in-place cache writes) is the same math as
+    the round-2 decode: greedy codes must agree exactly, and top-k sampling
+    must agree under the same rng (identical logits -> identical choices)."""
+    from megatts2_hierspeechpp_tpu.models.plm import decode_unfused
+
+    _, jmod, params = models
+    b, t = 2, 11
+    tc = np.random.default_rng(5).standard_normal((b, t, 44)).astype(np.float32)
+    for kw in (dict(), dict(rng=jax.random.PRNGKey(9), top_k=5,
+                            temperature=0.8)):
+        fused = decode(params["params"], jnp.asarray(tc), n_layers=2,
+                       n_heads=4, go_id=1024, **kw)
+        ref = decode_unfused(params["params"], jnp.asarray(tc), n_layers=2,
+                             n_heads=4, go_id=1024, **kw)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_topk_sampling_decodes_valid_codes(models):
     _, jmod, params = models
     b, t = 1, 7
