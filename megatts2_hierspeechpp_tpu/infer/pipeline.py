@@ -85,6 +85,10 @@ class PromptFeatures:
     mel_ttv: jnp.ndarray   # (1, T_pad, 80) mel of the 1600-padded prompt
     mel_pair: jnp.ndarray  # (2, T, 80) mel of [orig; denoised] at true length
     t_samples: int
+    # (1, 2, C) [orig; denoised] vocoder style pair, filled lazily by
+    # TTSPipeline.prompt_style (cached per enrolled speaker; pooled at the
+    # prompt's OWN length — see HierVocoder.style_pairs)
+    style_pair: Optional[jnp.ndarray] = None
 
 
 @dataclass
@@ -104,7 +108,13 @@ class TTSPipeline:
     denoiser_cfg: Dict = field(
         default_factory=lambda: dict(n_fft=400, hop=100, win=400, compress=0.3)
     )
+    # directory for AOT-persisted per-bucket executables (infer/aot.py):
+    # restart loads compiled programs directly — zero trace/lower/compile
+    aot_dir: Optional[str] = None
+    aot_version: str = ""
     _jits: Dict = field(default_factory=dict, repr=False, compare=False)
+    _aot_store: Optional[object] = field(
+        default=None, repr=False, compare=False)
 
     # ---------- jitted stage builders (one executable per shape bucket) ----------
 
@@ -200,6 +210,26 @@ class TTSPipeline:
 
             # w2v/f0 are per-request intermediates: donate their buffers
             fn = jax.jit(_vocode, donate_argnums=(1, 4))
+        elif name == "style":
+            def _style(voc_params, mel_pair):  # (2, T, 80) -> (1, 2, C)
+                trg_mask = jnp.ones(
+                    (mel_pair.shape[0], mel_pair.shape[1], 1), jnp.float32)
+                return self.vocoder.apply(
+                    voc_params, mel_pair, trg_mask,
+                    method=HierVocoder.style_pairs)
+
+            fn = jax.jit(_style)
+        elif name == "vocode_style":
+            # cross-prompt batched vocode: per-row precomputed style pairs
+            def _vocode_style(voc_params, w2v, mask, g_pair, f0, noise_scale,
+                              rng, denoise_ratio):
+                return self.vocoder.apply(
+                    voc_params, w2v, mask, g_pair, f0,
+                    noise_scale, rng, denoise_ratio,
+                    method=HierVocoder.voice_conversion_from_style,
+                )
+
+            fn = jax.jit(_vocode_style, donate_argnums=(1, 4))
         elif name == "vocode_latent":
             def _vocode_latent(voc_params, w2v, mask, mel_pair, f0, noise_scale,
                                rng, denoise_ratio):
@@ -280,8 +310,23 @@ class TTSPipeline:
             fn = jax.jit(_sr_chunk)
         else:  # pragma: no cover
             raise KeyError(name)
+        if self.aot_dir is not None:
+            if self._aot_store is None:
+                from megatts2_hierspeechpp_tpu.infer.aot import ExecutableStore
+
+                self._aot_store = ExecutableStore(
+                    self.aot_dir, version=self.aot_version)
+            statics = (("out_budget", "top_k", "mode")
+                       if name == "acoustic" else ())
+            fn = self._aot_store.wrap(fn, name, static_argnames=statics)
         self._jits[name] = fn
         return fn
+
+    def aot_stats(self) -> Dict[str, int]:
+        """Executable-store hit/miss counters (restart test: misses == 0)."""
+        if self._aot_store is None:
+            return {"hits": 0, "misses": 0}
+        return self._aot_store.stats()
 
     def jit_stats(self) -> Dict[str, int]:
         """Compiled-executable count per stage (tests assert one per bucket)."""
@@ -312,6 +357,15 @@ class TTSPipeline:
     def prompt_mel(self, audio: np.ndarray) -> jnp.ndarray:
         """audio: (T,) float in [-1, 1] at 16 kHz -> (1, frames, 80)."""
         return self._stage("mel")(jnp.asarray(audio)[None])
+
+    def prompt_style(self, prompt: "PromptFeatures") -> jnp.ndarray:
+        """(1, 2, C) vocoder style pair for a prompt, computed once and cached
+        on the PromptFeatures (per enrolled speaker). One jit per distinct
+        mel_pair length."""
+        if prompt.style_pair is None:
+            prompt.style_pair = self._stage("style")(
+                self.vocoder_params, prompt.mel_pair)
+        return prompt.style_pair
 
     def denoise(self, audio: np.ndarray) -> np.ndarray:
         """MP-SENet denoising (denoiser/infer.py:4-11)."""
@@ -596,11 +650,22 @@ class TTSPipeline:
         texts: list,
         prompt_audio: Optional[np.ndarray] = None,
         prompt: Optional[PromptFeatures] = None,
+        prompts: Optional[list] = None,
         **kw,
     ) -> list:
         """Batched request path: pad all texts to one bucket, run the acoustic
-        and vocoder stages at B=len(texts), slice per-utterance wavs. One
-        prompt shared across the batch (the zero-shot serving shape).
+        and vocoder stages at B=len(texts), slice per-utterance wavs.
+
+        Prompt modes (the zero-shot serving shapes):
+          - `prompt`/`prompt_audio`: ONE prompt shared across the batch
+            (many texts per enrolled speaker);
+          - `prompts`: one PromptFeatures PER ROW (multi-speaker traffic in
+            one device call). All rows must share the padded prompt-mel
+            length — use prepare_prompt(bucket=True) so distinct speakers
+            land on a common grid. Per-row style pairs are cached on the
+            PromptFeatures and fed through the vocoder directly, so each
+            row's audio is the same as its individual tts() call (the style
+            pooling runs at each prompt's own length, never at a batch max).
 
         Unknown kwargs raise (rather than silently producing different audio
         than the equivalent tts() call — e.g. a dropped output_sr)."""
@@ -613,10 +678,22 @@ class TTSPipeline:
                 "use tts() for per-request options")
         output_sr = kw.get("output_sr", 16000)
         ratio = self._check_output_sr(output_sr)
-        if prompt is None:
+        b = len(texts)
+        if prompts is not None:
+            if prompt is not None or prompt_audio is not None:
+                raise ValueError("pass either `prompts` (per-row) or a shared "
+                                 "`prompt`/`prompt_audio`, not both")
+            if len(prompts) != b:
+                raise ValueError(f"{len(prompts)} prompts for {b} texts")
+            f_lens = {int(p.mel_ttv.shape[1]) for p in prompts}
+            if len(f_lens) != 1:
+                raise ValueError(
+                    "per-row prompts must share the padded prompt-mel length "
+                    f"(got {sorted(f_lens)}); prepare_prompt(bucket=True) "
+                    "puts speakers on a common 1 s grid")
+        elif prompt is None:
             assert prompt_audio is not None
             prompt = self.prepare_prompt(prompt_audio, kw.get("denoise_ratio", 0.0))
-        b = len(texts)
         seqs = [text_frontend.process_text(t) for t in texts]
         n_max = max(len(s[0]) for s in seqs)
         n_pad = _bucket_text(n_max)
@@ -630,8 +707,11 @@ class TTSPipeline:
         length_scale = kw.get("length_scale", 1.0)
         seed = kw.get("seed", 1234)
 
-        mel_ttv = jnp.tile(prompt.mel_ttv, (b, 1, 1))
-        mel_len = jnp.full((b,), prompt.mel_ttv.shape[1], jnp.int32)
+        if prompts is not None:
+            mel_ttv = jnp.concatenate([p.mel_ttv for p in prompts], axis=0)
+        else:
+            mel_ttv = jnp.tile(prompt.mel_ttv, (b, 1, 1))
+        mel_len = jnp.full((b,), mel_ttv.shape[1], jnp.int32)
         # duration pre-pass sizes the shared batch bucket from the longest
         # predicted utterance (see tts())
         t_pred = np.asarray(jax.device_get(self._stage("duration")(
@@ -648,15 +728,29 @@ class TTSPipeline:
             mode="plm" if kw.get("use_plm", True) else "prompt",
         )
         t_frames = t_pred
-        # one shared prompt: the 2-row [orig; denoised] mel pair yields a
-        # (1, C) style vector that broadcasts over the batch inside the vocoder
-        wav = self._stage("vocode")(
-            self.vocoder_params, w2v_pred[:, :t_voc], frame_mask[:, :t_voc],
-            prompt.mel_pair, pred_lf0[:, : 4 * t_voc, None],
-            jnp.float32(kw.get("noise_scale_vc", 0.333)),
-            jax.random.PRNGKey(seed + 1),
-            jnp.float32(kw.get("denoise_ratio", 0.0)),
-        )
+        if prompts is not None:
+            # per-row cached style pairs -> (B, 2, C) through the vocoder
+            g_pair = jnp.concatenate(
+                [self.prompt_style(p) for p in prompts], axis=0)
+            wav = self._stage("vocode_style")(
+                self.vocoder_params, w2v_pred[:, :t_voc],
+                frame_mask[:, :t_voc], g_pair, pred_lf0[:, : 4 * t_voc, None],
+                jnp.float32(kw.get("noise_scale_vc", 0.333)),
+                jax.random.PRNGKey(seed + 1),
+                jnp.float32(kw.get("denoise_ratio", 0.0)),
+            )
+        else:
+            # one shared prompt: the 2-row [orig; denoised] mel pair yields a
+            # (1, C) style vector that broadcasts over the batch inside the
+            # vocoder
+            wav = self._stage("vocode")(
+                self.vocoder_params, w2v_pred[:, :t_voc],
+                frame_mask[:, :t_voc], prompt.mel_pair,
+                pred_lf0[:, : 4 * t_voc, None],
+                jnp.float32(kw.get("noise_scale_vc", 0.333)),
+                jax.random.PRNGKey(seed + 1),
+                jnp.float32(kw.get("denoise_ratio", 0.0)),
+            )
         if ratio != 1.0:
             wav = self._stage("sr")(self.speechsr_params, wav)
         wav = np.asarray(wav)

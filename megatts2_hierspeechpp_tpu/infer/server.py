@@ -2,10 +2,11 @@
 
 The reference has no server (inference_plm.py is a one-shot CLI loop); this is
 a capability addition: concurrent callers submit requests, a single worker
-thread drains the queue, groups requests that share a speaker prompt (the
-zero-shot serving shape: many texts per enrolled speaker) into one
-`tts_batch` device call, and runs singletons through `tts`. One worker owns
-the device — JAX dispatch is not thread-safe-by-contract for concurrent
+thread drains the queue, groups requests whose prompts share a padded-mel
+length — the real zero-shot serving shape is many DIFFERENT speakers, so
+distinct prompts batch into one `tts_batch(prompts=[...])` device call with
+per-row cached style vectors — and runs singletons through `tts`. One worker
+owns the device — JAX dispatch is not thread-safe-by-contract for concurrent
 writers, and serialization also keeps per-bucket executables warm.
 
 Usage:
@@ -99,15 +100,19 @@ class TTSServer:
             if req is None:
                 return
             batch = self._drain(req)
-            # group by (prompt, sampling params): tts_batch shares one prompt
-            # and one scalar set across the rows; requests carrying
-            # non-batchable kwargs (arrays, exact mode, ...) stay singletons
-            # — their values may be unhashable and tts_batch rejects them
+            # group by (prompt-mel length, sampling params): tts_batch takes
+            # per-row prompts, so requests from DIFFERENT speakers coalesce
+            # into one device call as long as their padded prompt-mel lengths
+            # match (prepare_prompt(bucket=True) puts speakers on a 1 s
+            # grid). Requests carrying non-batchable kwargs (arrays, exact
+            # mode, ...) stay singletons — their values may be unhashable and
+            # tts_batch rejects them
             groups: Dict[tuple, list] = {}
             singles: list = []
             for r in batch:
                 if set(r.kw) <= _BATCHABLE_KW:
-                    key = (r.prompt_key, tuple(sorted(r.kw.items())))
+                    f_len = int(r.prompt.mel_ttv.shape[1])
+                    key = (f_len, tuple(sorted(r.kw.items())))
                     groups.setdefault(key, []).append(r)
                 else:
                     singles.append([r])
@@ -117,10 +122,17 @@ class TTSServer:
                         r = rs[0]
                         wav = self.pipeline.tts(r.text, prompt=r.prompt, **r.kw)
                         r.future.set_result(np.asarray(wav))
-                    else:
+                    elif len({r.prompt_key for r in rs}) == 1:
+                        # one enrolled speaker: broadcast-style fast path
                         wavs = self.pipeline.tts_batch(
                             [r.text for r in rs], prompt=rs[0].prompt,
                             **rs[0].kw)
+                        for r, w in zip(rs, wavs):
+                            r.future.set_result(np.asarray(w))
+                    else:
+                        wavs = self.pipeline.tts_batch(
+                            [r.text for r in rs],
+                            prompts=[r.prompt for r in rs], **rs[0].kw)
                         for r, w in zip(rs, wavs):
                             r.future.set_result(np.asarray(w))
                 except Exception as e:  # surface per-request, keep serving

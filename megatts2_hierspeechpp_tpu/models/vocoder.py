@@ -381,6 +381,10 @@ class HierVocoder(nn.Module):
             g = (1 - denoise_ratio) * g_all[:1] + denoise_ratio * g_all[1:2]
         else:
             g = g_all
+        return self._vc_core(src_w2v, src_mask, g, f0, noise_scale, rng)
+
+    def _vc_core(self, src_w2v, src_mask, g, f0, noise_scale, rng):
+        """vc_latent body after the style vector is known. g: (1 or B, C)."""
         _, m_p, logs_p = self.enc_p_l(src_w2v, f0, src_mask, g, sample=False)
         if rng is not None:
             z = (
@@ -395,6 +399,40 @@ class HierVocoder(nn.Module):
         z = self.flow(z, src_mask, g, reverse=True)
         e, _ = self.sn(z, g)
         return z, e, g
+
+    def style_pairs(self, trg_mel, trg_mask):
+        """Style pairs for cached-prompt serving: trg_mel (2B, T, 80) with
+        rows [orig_i; denoised_i] stacked per prompt -> (B, 2, C).
+
+        Computed once per enrolled speaker at its OWN mel length (the
+        reference StyleEncoder's sum-over-all-frames pooling makes the style
+        vector padding-sensitive, styleencoder.py:83-91 — so batched serving
+        must NOT re-pool prompt mels padded to a batch max)."""
+        g_all = self.emb_g(trg_mel, trg_mask)
+        return g_all.reshape(-1, 2, g_all.shape[-1])
+
+    def vc_latent_from_style(
+        self, src_w2v, src_mask, g_pair, f0, noise_scale=0.333, rng=None,
+        denoise_ratio: float = 0.0,
+    ):
+        """vc_latent with precomputed style pairs (cross-prompt batched
+        serving): g_pair (1 or B, 2, C) from style_pairs(); the
+        [orig; denoised] interpolation happens here so denoise_ratio stays a
+        traced per-call scalar."""
+        g = (1 - denoise_ratio) * g_pair[:, 0] + denoise_ratio * g_pair[:, 1]
+        return self._vc_core(src_w2v, src_mask, g, f0, noise_scale, rng)
+
+    def voice_conversion_from_style(
+        self, src_w2v, src_mask, g_pair, f0, noise_scale=0.333, rng=None,
+        denoise_ratio: float = 0.0,
+    ):
+        """voice_conversion with precomputed per-row style pairs (B rows of
+        src_w2v, 1-or-B rows of g_pair). Reference equivalent: none — its
+        tts()/VC() recompute the style encoder every call
+        (inference_plm.py:159, hierspeechpp_speechsynthesizer.py:674-699)."""
+        z, e, g = self.vc_latent_from_style(
+            src_w2v, src_mask, g_pair, f0, noise_scale, rng, denoise_ratio)
+        return self.dec(z, e, g=g)
 
     def decode_latent(self, z, e, g):
         """Generator-only decode of vc_latent outputs (finite receptive

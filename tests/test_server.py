@@ -1,13 +1,19 @@
 """TTSServer queue/grouping logic with a stub pipeline (no device, fast):
-batching by (prompt, params), singleton routing for non-batchable kwargs
-(regression: an unhashable kwarg used to kill the worker thread), absolute
-straggler deadline, and error isolation."""
+batching by (prompt-mel length, params) incl. cross-prompt batching,
+singleton routing for non-batchable kwargs (regression: an unhashable kwarg
+used to kill the worker thread), absolute straggler deadline, and error
+isolation."""
 import threading
 import time
 
 import numpy as np
 
 from megatts2_hierspeechpp_tpu.infer.server import TTSServer
+
+
+class StubPrompt:
+    def __init__(self, frames=10):
+        self.mel_ttv = np.zeros((1, frames, 80), np.float32)
 
 
 class StubPipeline:
@@ -23,20 +29,22 @@ class StubPipeline:
             raise RuntimeError("synthesis failed")
         return np.full(4, float(len(text)), np.float32)
 
-    def tts_batch(self, texts, prompt=None, **kw):
+    def tts_batch(self, texts, prompt=None, prompts=None, **kw):
         with self.lock:
-            self.batch_calls.append((tuple(texts), kw))
+            self.batch_calls.append((tuple(texts), prompts, kw))
         return [np.full(4, float(len(t)), np.float32) for t in texts]
 
 
 def test_same_prompt_requests_batch():
     pipe = StubPipeline()
     server = TTSServer(pipe, max_batch=4, max_wait_ms=100)
-    prompt = object()
+    prompt = StubPrompt()
     futs = [server.submit(t, prompt, seed=1) for t in ("aa", "bbb", "c")]
     outs = [f.result(timeout=10) for f in futs]
     server.close()
     assert len(pipe.batch_calls) == 1 and not pipe.single_calls
+    # one speaker -> broadcast-style fast path (shared prompt, no prompts=)
+    assert pipe.batch_calls[0][1] is None
     assert [o[0] for o in outs] == [2.0, 3.0, 1.0]
 
 
@@ -45,7 +53,7 @@ def test_unbatchable_kwargs_run_as_singletons():
     not crash the worker on the group key."""
     pipe = StubPipeline()
     server = TTSServer(pipe, max_batch=4, max_wait_ms=100)
-    prompt = object()
+    prompt = StubPrompt()
     f1 = server.submit("aa", prompt, seed=1)
     f2 = server.submit("bbb", prompt, codes=np.arange(5))
     r1, r2 = f1.result(timeout=10), f2.result(timeout=10)
@@ -57,23 +65,45 @@ def test_unbatchable_kwargs_run_as_singletons():
     assert r1[0] == 2.0 and r2[0] == 3.0
 
 
-def test_distinct_prompts_do_not_share_a_batch():
+def test_distinct_prompts_share_one_batch():
+    """VERDICT r2 #3: N requests with N DISTINCT prompts (same padded
+    prompt-mel length) coalesce into ONE tts_batch device call with per-row
+    prompts."""
     pipe = StubPipeline()
     server = TTSServer(pipe, max_batch=4, max_wait_ms=100)
-    p1, p2 = object(), object()
-    futs = [server.submit("aa", p1, seed=1), server.submit("bb", p1, seed=1),
-            server.submit("cc", p2, seed=1)]
+    p1, p2, p3 = StubPrompt(), StubPrompt(), StubPrompt()
+    futs = [server.submit("aa", p1, seed=1), server.submit("bb", p2, seed=1),
+            server.submit("cc", p3, seed=1)]
     for f in futs:
         f.result(timeout=10)
     server.close()
-    # p1 pair batches; p2 runs alone
+    assert len(pipe.batch_calls) == 1 and not pipe.single_calls
+    texts, prompts, _ = pipe.batch_calls[0]
+    assert sorted(texts) == ["aa", "bb", "cc"]
+    assert prompts is not None and [id(p) for p in prompts] == [
+        id({"aa": p1, "bb": p2, "cc": p3}[t]) for t in texts]
+
+
+def test_mismatched_prompt_lengths_split_batches():
+    """Prompts on different padded-length grids cannot share the batched
+    executables; they group separately."""
+    pipe = StubPipeline()
+    server = TTSServer(pipe, max_batch=4, max_wait_ms=100)
+    p10a, p10b, p20 = StubPrompt(10), StubPrompt(10), StubPrompt(20)
+    futs = [server.submit("aa", p10a, seed=1),
+            server.submit("bb", p10b, seed=1),
+            server.submit("cc", p20, seed=1)]
+    for f in futs:
+        f.result(timeout=10)
+    server.close()
+    # the two 10-frame prompts batch; the 20-frame one runs alone
     assert len(pipe.batch_calls) == 1 and len(pipe.single_calls) == 1
 
 
 def test_worker_survives_request_errors():
     pipe = StubPipeline()
     server = TTSServer(pipe, max_batch=1, max_wait_ms=1)
-    prompt = object()
+    prompt = StubPrompt()
     bad = server.submit("boom", prompt)
     ok = server.submit("fine", prompt)
     assert ok.result(timeout=10)[0] == 4.0
@@ -89,7 +119,7 @@ def test_straggler_window_is_absolute():
     """A trickle of arrivals must not extend the wait past ~max_wait."""
     pipe = StubPipeline()
     server = TTSServer(pipe, max_batch=64, max_wait_ms=150)
-    prompt = object()
+    prompt = StubPrompt()
 
     stop = threading.Event()
 
