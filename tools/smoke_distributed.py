@@ -49,8 +49,13 @@ def child() -> None:
 def parent() -> int:
     port = int(os.environ.get("SMOKE_DIST_PORT", "56321"))
     procs = []
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for pid in range(2):
         env = dict(os.environ)
+        # keep the axon plugin path if present, and make the repo importable
+        env["PYTHONPATH"] = os.pathsep.join(
+            [p for p in [env.get("PYTHONPATH"), repo] if p]
+        )
         env.update(
             JAX_PLATFORMS="cpu",
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
