@@ -165,3 +165,82 @@ def make_s1_eval_fn(ttv: TTVModel, plm: ProsodyLM,
         return {"plm_loss": float(loss), "plm_acc_top10": float(acc)}
 
     return eval_fn
+
+
+def make_sr_eval_fn(gen, eval_batch: Dict[str, np.ndarray], sr_out: int,
+                    plot: bool = True) -> Callable:
+    """Held-out eval for the SpeechSR trainer: full-segment super-resolution
+    mel L1 at the target rate plus time-domain SNR (the perceptual proxies
+    the reference logs for its speechsr runs, speechsr48k/config.json), and
+    a gt-vs-pred spectrogram PNG pair."""
+    from megatts2_hierspeechpp_tpu.ops.stft import linear_spectrogram, spec_to_mel
+
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+    n_fft, hop = 1280, 320
+
+    def _mel(wav):
+        spec = linear_spectrogram(wav[..., 0], n_fft, hop, n_fft)
+        return spec_to_mel(spec, sr_out, n_fft, 128, 0.0, None)
+
+    @jax.jit
+    def _run(params_g):
+        fake = gen.apply({"params": params_g}, batch["lo"])
+        mel_f, mel_r = _mel(fake), _mel(batch["hi"])
+        l1 = jnp.mean(jnp.abs(mel_f - mel_r))
+        err = jnp.sum(jnp.square(fake - batch["hi"]))
+        snr = 10.0 * jnp.log10(
+            jnp.sum(jnp.square(batch["hi"])) / jnp.maximum(err, 1e-12))
+        return fake, mel_f, mel_r, l1, snr
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        _, mel_f, mel_r, l1, snr = _run(state.params_g)
+        if plot:
+            out = os.path.join(model_dir, "eval")
+            save_spectrogram_plot(
+                np.log(np.asarray(mel_f[0], np.float32) + 1e-5),
+                os.path.join(out, f"sr_pred_{step}.png"), title="pred")
+            save_spectrogram_plot(
+                np.log(np.asarray(mel_r[0], np.float32) + 1e-5),
+                os.path.join(out, f"sr_gt_{step}.png"), title="gt")
+        return {"mel_l1": float(l1), "snr_db": float(snr)}
+
+    return eval_fn
+
+
+def make_denoiser_eval_fn(model, eval_batch: Dict[str, np.ndarray],
+                          n_fft: int = 400, hop: int = 100, win: int = 400,
+                          compress: float = 0.3) -> Callable:
+    """Held-out eval for the MP-SENet trainer: denoised-vs-clean compressed
+    magnitude MSE and time-domain SNR improvement over the noisy input
+    (PESQ — the reference's metric, denoiser train ecosystem — needs a
+    licensed wheel that isn't in this image; SNR-i is the stand-in)."""
+    from megatts2_hierspeechpp_tpu.ops import stft as jstft
+
+    batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    @jax.jit
+    def _run(params, batch_stats):
+        mag_n, pha_n = jstft.mag_pha_stft(batch["noisy"], n_fft, hop, win,
+                                          compress)
+        mag_c, _ = jstft.mag_pha_stft(batch["clean"], n_fft, hop, win,
+                                      compress)
+        mag_g, pha_g = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mag_n, pha_n, train=False)
+        l_mag = jnp.mean(jnp.square(mag_g - mag_c))
+        spec = (mag_g ** (1.0 / compress)) * jnp.exp(1j * pha_g)
+        wav_g = jstft.istft(spec, n_fft, hop, win,
+                            length=batch["clean"].shape[-1])
+
+        def _snr(x):
+            err = jnp.sum(jnp.square(x - batch["clean"]))
+            return 10.0 * jnp.log10(
+                jnp.sum(jnp.square(batch["clean"])) / jnp.maximum(err, 1e-12))
+
+        return l_mag, _snr(wav_g) - _snr(batch["noisy"])
+
+    def eval_fn(state, step: int, model_dir: str) -> Dict[str, float]:
+        l_mag, snr_i = _run(state.params, state.batch_stats)
+        return {"mag_mse": float(l_mag), "snr_improvement_db": float(snr_i)}
+
+    return eval_fn

@@ -28,13 +28,23 @@ import time
 import numpy as np
 
 
-def _best_of(fn, n):
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _timed(fn, a, n_iter=8):
+    """Wall time of n_iter queued calls ended by a full host readback of the
+    last result, amortized per call. Over the axon tunnel
+    jax.block_until_ready can return before device compute finishes
+    (bench.py:_best_of); the stage fns sum-reduce their outputs inside the
+    jit so the readback is 8 bytes and can't contaminate the timing."""
+    import time
+
+    import jax
+    import numpy as np
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iter):
+        out = fn(*a)
+    jax.tree.map(np.asarray, out)
+    return (time.perf_counter() - t0) / n_iter
 
 
 def main():
@@ -97,6 +107,17 @@ def main():
         wav, _ = model.apply(v, mel, w2v, mask, f0)
         return wav
 
+    def _scalarize(fn):
+        """Sum-reduce the output inside the jit: full compute is still
+        required, but the host readback barrier transfers 8 bytes instead of
+        megabytes of waveform (which would contaminate per-stage timing)."""
+        def wrapped(*a):
+            out = fn(*a)
+            return jax.tree.reduce(
+                lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+                out, jnp.float32(0.0))
+        return wrapped
+
     stages = {}
     g = jax.block_until_ready(jax.jit(_style)(params, mel, mask))
     z = jax.block_until_ready(jax.jit(_enc)(params, w2v, f0, mask, g))
@@ -105,31 +126,32 @@ def main():
     e = jax.block_until_ready(e)
 
     fns = {
-        "style": (jax.jit(_style), (params, mel, mask)),
-        "enc_p_l": (jax.jit(_enc), (params, w2v, f0, mask, g)),
-        "flows": (jax.jit(_flows), (params, z, mask, g)),
-        "source_net": (jax.jit(_sn), (params, zf, g)),
-        "dec": (jax.jit(_dec), (params, zf, e, g)),
-        "full": (jax.jit(_full), (params, mel, w2v, mask, f0)),
+        "style": (jax.jit(_scalarize(_style)), (params, mel, mask)),
+        "enc_p_l": (jax.jit(_scalarize(_enc)), (params, w2v, f0, mask, g)),
+        "flows": (jax.jit(_scalarize(_flows)), (params, z, mask, g)),
+        "source_net": (jax.jit(_scalarize(_sn)), (params, zf, g)),
+        "dec": (jax.jit(_scalarize(_dec)), (params, zf, e, g)),
+        "full": (jax.jit(_scalarize(_full)), (params, mel, w2v, mask, f0)),
     }
     if args.sr:
         from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
 
         srm = SpeechSR(rate_num=3, rate_den=1, dtype=dtype)
-        wav0 = jax.block_until_ready(fns["full"][0](*fns["full"][1]))
+        wav0 = np.asarray(jax.jit(_full)(params, mel, w2v, mask, f0))
+        wav0 = jnp.asarray(wav0)
         sr_params = jax.jit(srm.init)(jax.random.PRNGKey(1), wav0)
         fns["speechsr_48k"] = (
-            jax.jit(lambda v, w: srm.apply(v, w)), (sr_params, wav0))
+            jax.jit(_scalarize(lambda v, w: srm.apply(v, w))),
+            (sr_params, wav0))
 
-    # warm every executable, then alternate stages per iteration
+    # warm every executable (readback = true completion barrier), then
+    # alternate stages per round within this one process
     for name, (fn, a) in fns.items():
-        jax.block_until_ready(fn(*a))
+        np.asarray(fn(*a))
     best = {k: float("inf") for k in fns}
     for _ in range(args.iters):
         for name, (fn, a) in fns.items():
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
-            best[name] = min(best[name], time.perf_counter() - t0)
+            best[name] = min(best[name], _timed(fn, a))
 
     audio_s = b * t * 320 / 16000
     stage_keys = ["style", "enc_p_l", "flows", "source_net", "dec"]
