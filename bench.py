@@ -107,11 +107,28 @@ def main():
 
     params = variables["params"]
     # analytic model FLOPs (utils/flops.py): XLA's cost_analysis over-counts
-    # transposed convs ~stride x, so we count the jaxpr ourselves
+    # transposed convs ~stride x, so we count the jaxpr ourselves — on a
+    # kernels-OFF trace (same math; the counter can't see inside pallas_call,
+    # so counting the fused-kernel trace under-bills and inflates no metric
+    # but deflates MFU)
     from megatts2_hierspeechpp_tpu.utils.flops import count_flops
 
     try:
-        flops_per_call = count_flops(synth, params, mel, w2v, mask, f0)
+        import os
+
+        _saved = os.environ.get("MEGATTS_PALLAS")
+        os.environ["MEGATTS_PALLAS"] = "0"
+        try:
+            # a fresh UNJITTED callable: tracing the jitted `synth` here
+            # would seed pjit's trace cache with the kernels-off body
+            flops_per_call = count_flops(
+                lambda p, *a: model.apply({"params": p}, *a)[0],
+                params, mel, w2v, mask, f0)
+        finally:
+            if _saved is None:
+                os.environ.pop("MEGATTS_PALLAS", None)
+            else:
+                os.environ["MEGATTS_PALLAS"] = _saved
     except Exception:
         flops_per_call = None
     np.asarray(synth(params, mel, w2v, mask, f0))  # warm dispatch + readback
@@ -153,6 +170,8 @@ def main():
             {"params": jax.random.PRNGKey(1)}, tc,
             jnp.zeros((1, t_dec), jnp.int32), jnp.full((1,), t_dec, jnp.int32),
         )["params"]
+        # decode() picks the serving path itself: on TPU the persistent
+        # Pallas kernel (default-on), elsewhere the exact f32 scan
         dec = jax.jit(lambda p, a: decode(p, a))
         np.asarray(dec(plm_params, tc))  # compile + warm readback
         dt = _best_of(lambda: dec(plm_params, tc), rounds=3, n_iter=3)

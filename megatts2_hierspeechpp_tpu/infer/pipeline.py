@@ -152,6 +152,11 @@ class TTSPipeline:
                     method=TTVModel.inf_extract_tc_latent,
                 )
                 if mode == "plm":
+                    # NOTE: decode's compute_dtype=bf16 fast path is NOT used
+                    # here — hardware A/B (tools/bench_plm_decode.py, r3)
+                    # showed the scan step is op-dispatch-bound, not
+                    # bandwidth-bound: bf16 measured 0.87-1.0x (the extra
+                    # converts lose) while costing ~2% greedy-token flips.
                     codes = plm_decode(
                         plm_params, x_frame,
                         n_layers=self.plm.n_layers, n_heads=self.plm.n_heads,

@@ -205,6 +205,7 @@ def decode(
     rng: Optional[jax.Array] = None,
     top_k: int = 0,
     temperature: float = 1.0,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Fused KV-cached AR decode. params: ProsodyLM 'params' dict;
     tc_latent: (B, T, 256) -> codes (B, T) int32.
@@ -222,7 +223,36 @@ def decode(
         of pure copy traffic per token: ~35 MB/step at T=4000);
       - positional-encoding rows ride the scan xs instead of a per-step
         gather.
+
+    compute_dtype=bfloat16 stores weights + KV caches bf16 (cast once outside
+    the scan) with f32 accumulation everywhere. Hardware A/B verdict
+    (tools/bench_plm_decode.py, v5e): 0.87-1.0x — i.e. NOT a win. Per-step
+    time is ~70 us nearly independent of T, so the scan step is bound by
+    per-op dispatch/sequencing, not by the ~33 MB/step of HBM traffic the
+    bandwidth model predicts; the bf16 converts only add ops. Kept as an
+    option + documentation of the negative result; serving uses the exact
+    f32 path (compute_dtype=None).
     """
+    import os
+
+    # Persistent-kernel fast path (ops/pallas_plm_decode.py): the whole token
+    # loop as ONE Pallas program — VMEM-resident weights, HBM KV cache with
+    # chunked online-softmax attention. Greedy/B=1 only (the serving shape).
+    # DEFAULT-ON since the round-3 hardware A/B (tools/bench_plm_decode.py:
+    # 1.09-1.29x vs this scan across T=400..2400, bf16 weights, 96-98% token
+    # agreement at near-tie argmax flips); opt out with
+    # MEGATTS_PALLAS_DECODE=0.
+    if (top_k == 0 and tc_latent.shape[0] == 1
+            and jax.default_backend() == "tpu"
+            and os.environ.get("MEGATTS_PALLAS", "1") != "0"
+            and os.environ.get("MEGATTS_PALLAS_DECODE", "1") == "1"):
+        from megatts2_hierspeechpp_tpu.ops.pallas_plm_decode import (
+            plm_decode_greedy,
+        )
+
+        return plm_decode_greedy(params, tc_latent, n_layers=n_layers,
+                                 n_heads=n_heads, go_id=go_id)
+
     b, t, _ = tc_latent.shape
     emb_table = params["pc_embedding"]["embedding"]
     d = tc_latent.shape[-1] + emb_table.shape[-1]
@@ -230,6 +260,27 @@ def decode(
     pe = sine_positions(t, d)
     pos_alpha = params["pos_alpha"]
     hp = jax.lax.Precision.HIGHEST
+    cd = compute_dtype
+
+    def dot(x, wp, f32_out: bool = False):
+        """Dense with the decode precision contract: HIGHEST for the exact
+        f32 path; bf16 operands with f32 accumulation on the fast path."""
+        if cd is None:
+            y = jnp.dot(x, wp["kernel"], precision=hp)
+        else:
+            y = jnp.dot(x, wp["kernel"],
+                        preferred_element_type=jnp.float32)
+            if not f32_out:
+                y = y.astype(cd)
+        if "bias" in wp:
+            y = y + (wp["bias"] if cd is None or f32_out
+                     else wp["bias"].astype(cd))
+        return y
+
+    def ln(p, x):
+        # layernorm math in f32 regardless of the stream dtype
+        y = _ln(p, x.astype(jnp.float32))
+        return y if cd is None else y.astype(cd)
 
     # merged/stacked layer weights (built once per call, outside the scan)
     lps = [params[f"layer_{i}"] for i in range(n_layers)]
@@ -239,12 +290,22 @@ def decode(
     bqkv = jnp.stack([
         jnp.concatenate([lp["w_q"]["bias"], lp["w_k"]["bias"],
                          lp["w_v"]["bias"]]) for lp in lps])
+    if cd is not None:
+        wqkv, bqkv = wqkv.astype(cd), bqkv.astype(cd)
+        _wcast = lambda wp: {k: v.astype(cd) for k, v in wp.items()}  # noqa: E731
+        lps = [{**lp, "out_proj": _wcast(lp["out_proj"]),
+                "ff_0": _wcast(lp["ff_0"]), "ff_1": _wcast(lp["ff_1"])}
+               for lp in lps]
+        predict_w = _wcast(params["predict_layer"])
+    else:
+        predict_w = params["predict_layer"]
 
     # cache dtype must match what the dense projections PRODUCE: bf16 inputs
     # with f32 params promote to f32 (the serving pipeline feeds bf16
     # tc_latent from a bf16 TTV)
-    k_cache = jnp.zeros((n_layers, b, n_heads, t, hd),
-                        jnp.result_type(tc_latent.dtype, emb_table.dtype))
+    cache_dtype = cd if cd is not None else jnp.result_type(
+        tc_latent.dtype, emb_table.dtype)
+    k_cache = jnp.zeros((n_layers, b, n_heads, t, hd), cache_dtype)
     v_cache = jnp.zeros_like(k_cache)
     prev = jnp.full((b,), go_id, jnp.int32)
     rng0 = rng if rng is not None else jax.random.PRNGKey(0)
@@ -256,11 +317,18 @@ def decode(
         step_t, tc_t, pe_t = inp
         pc = jnp.take(emb_table, prev, axis=0)
         x = jnp.concatenate([tc_t, pc], axis=-1) + pos_alpha * pe_t
+        if cd is not None:
+            x = x.astype(cd)
 
         for i in range(n_layers):
             lp = lps[i]
-            yn = _ln(lp["norm1"], x)
-            qkv = jnp.dot(yn, wqkv[i], precision=hp) + bqkv[i]  # (B, 3d)
+            yn = ln(lp["norm1"], x)
+            if cd is None:
+                qkv = jnp.dot(yn, wqkv[i], precision=hp) + bqkv[i]
+            else:
+                qkv = (jnp.dot(yn, wqkv[i],
+                               preferred_element_type=jnp.float32)
+                       .astype(cd) + bqkv[i])
             q = qkv[:, :d].reshape(b, n_heads, hd)
             k = qkv[:, d: 2 * d].reshape(b, n_heads, hd)
             v = qkv[:, 2 * d:].reshape(b, n_heads, hd)
@@ -273,15 +341,27 @@ def decode(
                 v_cache, v[None, :, :, None, :].astype(v_cache.dtype),
                 (i, 0, 0, step_t, 0))
             kc, vc = k_cache[i], v_cache[i]  # (B, H, T, hd)
-            scores = jnp.einsum("bhd,bhkd->bhk", q, kc) / math.sqrt(hd)
-            scores = jnp.where(positions[None, None, :] <= step_t, scores, NEG_INF)
-            p = jax.nn.softmax(scores, axis=-1)
-            att = jnp.einsum("bhk,bhkd->bhd", p, vc).reshape(b, d)
-            x = x + _dense(lp["out_proj"], att)
-            yn = _ln(lp["norm2"], x)
-            x = x + _dense(lp["ff_1"], jax.nn.relu(_dense(lp["ff_0"], yn)))
+            if cd is None:
+                scores = jnp.einsum("bhd,bhkd->bhk", q, kc) / math.sqrt(hd)
+            else:
+                scores = jnp.einsum(
+                    "bhd,bhkd->bhk", q, kc,
+                    preferred_element_type=jnp.float32) / math.sqrt(hd)
+            scores = jnp.where(positions[None, None, :] <= step_t, scores,
+                               NEG_INF)
+            p = jax.nn.softmax(scores, axis=-1)  # f32
+            if cd is None:
+                att = jnp.einsum("bhk,bhkd->bhd", p, vc).reshape(b, d)
+            else:
+                att = jnp.einsum(
+                    "bhk,bhkd->bhd", p.astype(cd), vc,
+                    preferred_element_type=jnp.float32,
+                ).reshape(b, d).astype(cd)
+            x = x + dot(att, lp["out_proj"])
+            yn = ln(lp["norm2"], x)
+            x = x + dot(jax.nn.relu(dot(yn, lp["ff_0"])), lp["ff_1"])
 
-        logits = _dense(params["predict_layer"], x)  # (B, bins)
+        logits = dot(x, predict_w, f32_out=True)  # (B, bins) f32
         if top_k > 0:
             rng_c, sub = jax.random.split(rng_c)
             vals, idxs = jax.lax.top_k(logits / temperature, top_k)

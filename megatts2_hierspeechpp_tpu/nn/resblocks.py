@@ -99,13 +99,15 @@ class AMPBlock(nn.Module):
         # Fused whole-block Pallas path (TPU, small-C stages): one VMEM pass
         # for the 6 convs + 6 anti-aliased snakes instead of ~12 HBM round
         # trips; exact vs the composed path (stitched edges), differentiable
-        # (ops/pallas_ampblock). Opt-in via MEGATTS_FUSED_AMPBLOCK=1 until
-        # A/B-validated on hardware (interpret-mode parity is green).
+        # (ops/pallas_ampblock). DEFAULT-ON since the round-3 hardware A/B
+        # (tools/bench_ampblock.py: full vocoder 359.8 vs 287.1 audio-s/s,
+        # +25% over snake-only, 2.67x over pure XLA); opt out with
+        # MEGATTS_FUSED_AMPBLOCK=0.
         use_fused = (
             jax.default_backend() == "tpu"
             and x.shape[-1] <= 128
             and os.environ.get("MEGATTS_PALLAS", "1") != "0"
-            and os.environ.get("MEGATTS_FUSED_AMPBLOCK", "0") == "1"
+            and os.environ.get("MEGATTS_FUSED_AMPBLOCK", "1") == "1"
         )
         acts1, ibs1, ks1, bs1 = [], [], [], []
         acts2, ibs2, ks2, bs2 = [], [], [], []

@@ -147,3 +147,23 @@ def test_noncausal_plm_variant_matches_reference():
         np.asarray(out["logits"]), logits_t.transpose(1, 2).numpy(), atol=5e-4
     )
     np.testing.assert_allclose(float(out["loss"]), float(loss_t), rtol=1e-4)
+
+
+def test_bf16_decode_fast_path(models):
+    """compute_dtype=bfloat16 (the serving fast path: weights + KV caches
+    stored bf16, f32 accumulation) must produce valid codes that
+    overwhelmingly agree with the exact f32 greedy path — divergence is
+    allowed only at near-ties of the argmax."""
+    _, jmod, params = models
+    b, t = 2, 33
+    tc = np.random.default_rng(7).standard_normal((b, t, 44)).astype(np.float32)
+    f32 = np.asarray(decode(params["params"], jnp.asarray(tc), n_layers=2,
+                            n_heads=4, go_id=1024))
+    b16 = np.asarray(decode(params["params"], jnp.asarray(tc), n_layers=2,
+                            n_heads=4, go_id=1024,
+                            compute_dtype=jnp.bfloat16))
+    assert b16.shape == (b, t) and b16.dtype == np.int32
+    assert (b16 >= 0).all() and (b16 < 1024).all()
+    # greedy AR decode can fork after a near-tie flip; require agreement on a
+    # clear majority of positions rather than everywhere
+    assert (b16 == f32).mean() > 0.5, (b16 == f32).mean()

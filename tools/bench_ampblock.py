@@ -95,6 +95,26 @@ def main():
             dt = best_of(lambda: fn(params, mel, w2v, mask, f0))
             out[f"vocoder_audio_s_per_s_{name}"] = round(b * t / 50.0 / dt, 1)
 
+        # ---- SpeechSR 48k (the profile's biggest stage: C=16 convs at
+        # 48 kHz — 403 ms vs 215 ms for the WHOLE vocoder): same three arms
+        from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
+
+        srm = SpeechSR(rate_num=3, rate_den=1, dtype=dtype)
+        wav16 = jnp.asarray(
+            rng.standard_normal((b, t * 320, 1)) * 0.1, jnp.float32)
+        sr_params = jax.jit(srm.init)(jax.random.PRNGKey(1), wav16)
+        sr_fns = {}
+        for name, (pallas, fused) in arms.items():
+            os.environ["MEGATTS_PALLAS"] = pallas
+            os.environ["MEGATTS_FUSED_AMPBLOCK"] = fused
+            fn = jax.jit(lambda p, w: srm.apply(p, w))
+            np.asarray(fn(sr_params, wav16))
+            sr_fns[name] = fn
+        os.environ.pop("MEGATTS_PALLAS", None)
+        for name, fn in sr_fns.items():
+            dt = best_of(lambda: fn(sr_params, wav16))
+            out[f"speechsr48_audio_s_per_s_{name}"] = round(b * t / 50.0 / dt, 1)
+
     print(json.dumps(out))
 
 

@@ -109,6 +109,26 @@ def main():
     out["e2e_b8_rtf"] = round(total_audio / best, 1)
     out["e2e_b8_audio_s"] = round(total_audio, 2)
 
+    # ---- cross-prompt batched serving: 8 DISTINCT speakers, one device call
+    # (zero-shot multi-speaker traffic; VERDICT r2 #3 measured row) ----
+    rngp = np.random.default_rng(2)
+    prompts = [
+        pipe.prepare_prompt(
+            rngp.uniform(-0.3, 0.3, 48000).astype(np.float32), bucket=True)
+        for _ in range(8)
+    ]
+    outs = pipe.tts_batch(texts, prompts=prompts, seed=0,
+                          length_scale=ls)  # warm
+    total_audio = sum(len(w) for w in outs) / 16000.0
+    best = float("inf")
+    for seed in range(3):
+        t0 = time.perf_counter()
+        outs = pipe.tts_batch(texts, prompts=prompts, seed=seed,
+                              length_scale=ls)
+        best = min(best, time.perf_counter() - t0)
+    out["e2e_b8_multispeaker_rtf"] = round(total_audio / best, 1)
+    out["e2e_b8_multispeaker_audio_s"] = round(total_audio, 2)
+
     # ---- feature pipeline (mel + linear spec + YIN f0), readback barrier ----
     from megatts2_hierspeechpp_tpu.ops import stft as jstft
     from megatts2_hierspeechpp_tpu.ops.f0 import yin_f0

@@ -45,33 +45,58 @@ def main():
         "fused": jax.jit(lambda p_, tc: decode(p_, tc, n_layers=args.layers)),
         "unfused": jax.jit(
             lambda p_, tc: decode_unfused(p_, tc, n_layers=args.layers)),
+        "fused_bf16": jax.jit(
+            lambda p_, tc: decode(p_, tc, n_layers=args.layers,
+                                  compute_dtype=jnp.bfloat16)),
     }
+    if jax.default_backend() == "tpu":
+        from megatts2_hierspeechpp_tpu.ops.pallas_plm_decode import (
+            plm_decode_greedy,
+        )
+
+        fns["pallas"] = jax.jit(
+            lambda p_, tc: plm_decode_greedy(p_, tc, n_layers=args.layers))
 
     results = {}
     for t in args.t:
         tc = jnp.asarray(
             np.random.default_rng(1).standard_normal((1, t, 256)),
             jnp.bfloat16)
-        # compile + agree check
+        # compile + agree check (np.asarray = the only trustworthy
+        # completion barrier over the axon tunnel; see bench.py:_best_of)
         outs = {}
         for name, fn in fns.items():
-            outs[name] = np.asarray(jax.block_until_ready(fn(params, tc)))
+            outs[name] = np.asarray(fn(params, tc))
         assert (outs["fused"] == outs["unfused"]).all(), "decode mismatch!"
+        agree = float((outs["fused"] == outs["fused_bf16"]).mean())
+        results[f"bf16_token_agreement_T{t}"] = round(agree, 4)
+        if "pallas" in outs:
+            results[f"pallas_token_agreement_T{t}"] = round(
+                float((outs["fused"] == outs["pallas"]).mean()), 4)
 
         for name, fn in fns.items():
             times = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(params, tc))
+                np.asarray(fn(params, tc))
                 times.append(time.perf_counter() - t0)
             best = min(times)
             results[f"{name}_T{t}"] = dict(
                 s=round(best, 4), tok_s=round(t / best, 1))
-            print(f"T={t:5d} {name:8s}: {best*1e3:8.1f} ms "
+            print(f"T={t:5d} {name:10s}: {best*1e3:8.1f} ms "
                   f"({t/best:9.1f} tok/s)", flush=True)
         r = results[f"unfused_T{t}"]["s"] / results[f"fused_T{t}"]["s"]
+        rb = results[f"unfused_T{t}"]["s"] / results[f"fused_bf16_T{t}"]["s"]
         results[f"speedup_T{t}"] = round(r, 2)
-        print(f"T={t:5d} speedup: {r:.2f}x", flush=True)
+        results[f"speedup_bf16_T{t}"] = round(rb, 2)
+        msg = (f"T={t:5d} speedup: fused {r:.2f}x  bf16 {rb:.2f}x "
+               f"(agree {agree:.1%})")
+        if "pallas" in fns:
+            rp = results[f"unfused_T{t}"]["s"] / results[f"pallas_T{t}"]["s"]
+            results[f"speedup_pallas_T{t}"] = round(rp, 2)
+            msg += (f"  pallas {rp:.2f}x "
+                    f"(agree {results[f'pallas_token_agreement_T{t}']:.1%})")
+        print(msg, flush=True)
 
     print(json.dumps(results))
 
