@@ -106,10 +106,20 @@ def main():
     mesh = make_mesh()
 
     wavs = load_wavs(args.data_dir)
-    logging.info("denoiser corpus: %d wavs", len(wavs))
+    # genuine held-out split: the last 4 wavs feed ONLY the eval batch, so
+    # eval/snr_improvement_db measures generalization (ADVICE r3 — the eval
+    # segments previously overlapped training data)
+    if len(wavs) > 4:
+        ev_wavs, wavs = wavs[-4:], wavs[:-4]
+    else:  # tiny-corpus fallback: overlapping, observability-only
+        ev_wavs = wavs
+    logging.info("denoiser corpus: %d train wavs, %d held-out", len(wavs),
+                 len(ev_wavs))
 
     n_fft, hop, win = 400, 100, 400
-    model = MPNet(dense_channel=args.dense_channel)
+    # remat the conformer stack: trades ~2x attention recompute for the
+    # activation memory that OOM'd B=8 x 2 s on one chip (BASELINE.md r3)
+    model = MPNet(dense_channel=args.dense_channel, remat=True)
     tx = adamw(args.lr, lr_decay=args.lr_decay,
                steps_per_epoch=args.steps_per_epoch, max_grad_norm=5.0)
 
@@ -134,7 +144,7 @@ def main():
 
         # fixed held-out eval batch at a fixed 5 dB SNR so the curve is
         # comparable across evals
-        ev = next(make_batch_iter(wavs[-4:], 4, args.seg, 5.0, 5.0,
+        ev = next(make_batch_iter(ev_wavs, 4, args.seg, 5.0, 5.0,
                                   args.seed + 999, 1)(0))
         eval_fn = make_denoiser_eval_fn(model, ev, n_fft=n_fft, hop=hop,
                                         win=win)

@@ -26,6 +26,7 @@ import numpy as np
 
 from megatts2_hierspeechpp_tpu.models.discriminators import (
     SPEECHSR48_RESOLUTIONS,
+    VOCODER_RESOLUTIONS,
     MultiPeriodDiscriminator,
 )
 from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
@@ -138,8 +139,12 @@ def main():
     global_bs = args.batch_size * mesh.shape["data"]
 
     gen = SpeechSR(upsample_initial_channel=args.ch, rate_num=num, rate_den=den)
+    # discriminator bank per target rate: the 48k recipe adds a 4096-FFT
+    # resolution (/root/reference/speechsr48k/speechsr.py:193-194) that the
+    # 24k recipe does not have (/root/reference/speechsr24k/speechsr.py:194)
     disc = MultiPeriodDiscriminator(
-        resolutions=tuple(SPEECHSR48_RESOLUTIONS))
+        resolutions=tuple(SPEECHSR48_RESOLUTIONS if args.out_sr == 48000
+                          else VOCODER_RESOLUTIONS))
     tx_g = adamw(args.lr, lr_decay=args.lr_decay,
                  steps_per_epoch=args.steps_per_epoch)
     tx_d = adamw(args.lr, lr_decay=args.lr_decay,

@@ -289,15 +289,22 @@ class MPNet(nn.Module):
     n_freqs: int = 201
     beta: float = 2.0
     dtype: Dtype | None = None
+    # rematerialize each TSConformerBlock in the backward pass: the T*F
+    # attention probability tensors of 8 conformers otherwise dominate
+    # training memory (B=8 x 2 s OOM'd one 34 GB chip — BASELINE.md r3);
+    # param tree is unchanged, so checkpoints port either way
+    remat: bool = False
 
     @nn.compact
     def __call__(self, noisy_mag, noisy_pha, train: bool = False):
         """noisy_mag/pha: (B, T, F) -> (denoised_mag, denoised_pha)."""
+        block_cls = (nn.remat(TSConformerBlock, static_argnums=(2,))
+                     if self.remat else TSConformerBlock)
         x = jnp.stack([noisy_mag, noisy_pha], axis=-1)  # (B, T, F, 2)
         x = DenseEncoder(self.dense_channel, dtype=self.dtype, name="dense_encoder")(x)
         for i in range(self.num_tsblocks):
-            x = TSConformerBlock(self.dense_channel, dtype=self.dtype,
-                                 name=f"ts_{i}")(x, train)
+            x = block_cls(self.dense_channel, dtype=self.dtype,
+                          name=f"ts_{i}")(x, train)
         mask = MaskDecoder(self.dense_channel, self.n_freqs, self.beta,
                            dtype=self.dtype, name="mask_decoder")(x)
         mag = noisy_mag * mask

@@ -242,7 +242,9 @@ def decode(
     # 1.09-1.29x vs this scan across T=400..2400, bf16 weights, 96-98% token
     # agreement at near-tie argmax flips); opt out with
     # MEGATTS_PALLAS_DECODE=0.
-    if (top_k == 0 and tc_latent.shape[0] == 1
+    # compute_dtype is an explicit scan-path request (the documented bf16
+    # A/B arm) — never reroute it to the Pallas kernel (ADVICE r3).
+    if (top_k == 0 and tc_latent.shape[0] == 1 and compute_dtype is None
             and jax.default_backend() == "tpu"
             and os.environ.get("MEGATTS_PALLAS", "1") != "0"
             and os.environ.get("MEGATTS_PALLAS_DECODE", "1") == "1"):

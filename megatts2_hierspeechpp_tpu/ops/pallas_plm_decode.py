@@ -134,9 +134,14 @@ def _kernel(
             # kvrow[i] is the (2, d_pad) tile [K_t; V_t]: assembled as a
             # value and written whole
             kvrow_ref[i] = jnp.concatenate([k, v], axis=0).astype(cache_dtype)
-            # append this step's tile to the HBM cache NOW (read only by
-            # later steps; waited at end-of-step, overlapped with the
-            # remaining layers + logits)
+            # Append this step's tile to the HBM cache NOW; waited at
+            # end-of-step, overlapped with the remaining layers + logits.
+            # NOTE (intentional read-under-write): the cache length is
+            # rounded up to a chunk multiple, so this step's LAST chunk read
+            # below can cover row t while this write DMA is still in flight
+            # (e.g. t=500, chunk=768 reads rows [0, 768)). The torn row is
+            # harmless ONLY because chunk_body masks tok < t on k_row BEFORE
+            # the online-softmax max/exp — keep that ordering if editing.
             pltpu.make_async_copy(
                 kvrow_ref.at[i], kv_out[i].at[t], write_sems.at[i]).start()
 

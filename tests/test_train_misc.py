@@ -56,6 +56,38 @@ def test_denoiser_train_step_improves():
 
 
 @pytest.mark.slow
+def test_denoiser_remat_matches():
+    """remat=True (the trainer CLI default since the B=8 x 2 s OOM) must be
+    numerically identical: same param tree, same loss, same updated params."""
+    from megatts2_hierspeechpp_tpu.models.denoiser import MPNet
+    from megatts2_hierspeechpp_tpu.train import denoiser as dt
+
+    rng = np.random.default_rng(1)
+    clean = rng.uniform(-0.5, 0.5, (2, 2000)).astype(np.float32)
+    noisy = clean + 0.1 * rng.standard_normal((2, 2000)).astype(np.float32)
+    batch = {"noisy": jnp.asarray(noisy), "clean": jnp.asarray(clean)}
+
+    outs = {}
+    for remat in (False, True):
+        model = MPNet(dense_channel=8, num_tsblocks=1, n_freqs=201,
+                      remat=remat)
+        tx = adamw(1e-3)
+        state = dt.create_state(model, tx, jax.random.PRNGKey(0))
+        step = jax.jit(dt.make_train_step(model, tx))
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        outs[remat] = (state, metrics)
+    assert jax.tree.structure(outs[False][0].params) == jax.tree.structure(
+        outs[True][0].params)
+    np.testing.assert_allclose(float(outs[False][1]["loss/total"]),
+                               float(outs[True][1]["loss/total"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        outs[False][0].params, outs[True][0].params)
+
+
+@pytest.mark.slow
 def test_eval_hooks_s2_and_s1(tmp_path):
     """Periodic-eval hooks (VERDICT #3): s2 hook returns w2v/lf0 scalars and
     writes eval/*.png; s1 hook returns held-out PLM loss/acc."""
