@@ -8,6 +8,7 @@ speechsr48k/G_100000.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -25,7 +26,15 @@ def interp_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     (i+0.5)*scale-0.5 in fp32 — the fp32 form accumulates index error ~i*eps
     (a quarter sample at 80 s of 48 kHz!) and makes the result depend on the
     absolute offset, which breaks chunked/streamed equivalence. torch computes
-    these indices in double; the exact table matches it."""
+    these indices in double; the exact table matches it.
+
+    Layout: phase-decomposed. Each of the `num` phases is a constant-weight
+    lerp of two stride-`den` slices; phases stack on a new minor-most axis
+    and reshape to the interleaved stream. A row gather over T*3 at 48 kHz
+    measured ~1.2 GB/s effective on v5e (104 ms of a 388 ms SpeechSR call);
+    the strided-slice form is pure vector code. Edge clamp folds into one
+    replicate-pad: at i=0 (lo=-1) both padded neighbors equal x[0], which
+    matches torch's w->0 clamp exactly; symmetric at the tail."""
     b, t, c = x.shape
     if out_len == t:
         return x
@@ -33,20 +42,22 @@ def interp_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
     g = gcd(out_len, t)
     num, den = out_len // g, t // g
+    q_len = out_len // num
     # pos(i) = (i + 0.5) * den/num - 0.5; i = q*num + s -> q*den + pos_s[s]
     pos_s = (np.arange(num) + 0.5) * den / num - 0.5  # float64, one period
-    lo_s = np.floor(pos_s).astype(np.int64)
+    lo_s = np.floor(pos_s).astype(np.int64)  # in [-1, den - 1]
     w_s = pos_s - lo_s
-    i = jnp.arange(out_len)
-    q, s = i // num, i % num
-    lo = q * den + jnp.asarray(lo_s, jnp.int32)[s]
-    w = jnp.asarray(w_s, jnp.float32)[s]
-    # edge clamp (same semantics as clip(pos, 0, t-1))
-    w = jnp.where(lo < 0, 0.0, w)
-    lo = jnp.clip(lo, 0, t - 1)
-    hi = jnp.minimum(lo + 1, t - 1)
-    w = w[None, :, None].astype(x.dtype)
-    return x[:, lo, :] * (1 - w) + x[:, hi, :] * w
+    xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)  # (B, t+2, C)
+    phases = []
+    for s in range(num):
+        a = int(lo_s[s]) + 1  # offset into the padded buffer
+        lo_v = jax.lax.slice_in_dim(xp, a, a + (q_len - 1) * den + 1, den,
+                                    axis=1)
+        hi_v = jax.lax.slice_in_dim(xp, a + 1, a + 2 + (q_len - 1) * den, den,
+                                    axis=1)
+        w = jnp.asarray(w_s[s], x.dtype)
+        phases.append(lo_v * (1 - w) + hi_v * w)
+    return jnp.stack(phases, axis=2).reshape(b, out_len, c)
 
 
 class SpeechSR(nn.Module):
@@ -62,17 +73,38 @@ class SpeechSR(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, 1) 16 kHz waveform -> (B, T*rate, 1)."""
+        from megatts2_hierspeechpp_tpu.nn.resblocks import fused_triple_enabled
+
         ch = self.upsample_initial_channel
         y = WNConv1d(ch, 7, padding=3, dtype=self.dtype, name="conv_pre")(x)
         out_len = int(y.shape[1] * self.rate_num // self.rate_den)
         y = interp_linear(y, out_len)
+        ks = tuple(self.resblock_kernel_sizes)
+        dils = tuple(tuple(d) for d in self.resblock_dilation_sizes)
+        blocks = [
+            AMPBlock(ch, k, d, dtype=self.dtype, name=f"resblocks_{j}")
+            for j, (k, d) in enumerate(zip(ks, dils))
+        ]
+        act_post = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")
+        conv_post = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype,
+                           name="conv_post")
+        if fused_triple_enabled(ch):
+            # whole hi-rate stage (3 AMPBlocks + avg + AA-snake + conv_post
+            # + tanh) as ONE Pallas pass — ops/pallas_amp_triple
+            bws = [blk(y, return_weights=True) for blk in blocks]
+            pa, pb = act_post(y, return_params=True)
+            pk, _ = conv_post(y, return_kernel=True)
+            from megatts2_hierspeechpp_tpu.ops.pallas_amp_triple import (
+                fused_amp_triple,
+            )
+
+            return fused_amp_triple(
+                y, bws, ks, dils, post=(pa, 1.0 / (pb + 1e-9), pk[:, :, 0]))
         xs = None
-        for j, (k, d) in enumerate(
-            zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-        ):
-            r = AMPBlock(ch, k, tuple(d), dtype=self.dtype, name=f"resblocks_{j}")(y)
+        for blk in blocks:
+            r = blk(y)
             xs = r if xs is None else xs + r
-        y = xs / len(self.resblock_kernel_sizes)
-        y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
-        y = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
+        y = xs / len(ks)
+        y = act_post(y)
+        y = conv_post(y)
         return jnp.tanh(y)

@@ -186,6 +186,8 @@ class SourceNetwork(nn.Module):
         up_kernels = [4, 4]
         uic = self.upsample_initial_channel
 
+        from megatts2_hierspeechpp_tpu.nn.resblocks import fused_triple_enabled
+
         y = WNConv1d(uic, 7, padding=3, dtype=self.dtype, name="conv_pre")(x)
         y = y + Dense(uic, dtype=self.dtype, name="cond")(g)[:, None, :]
         ch = uic
@@ -194,12 +196,25 @@ class SourceNetwork(nn.Module):
             y = WNConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, dtype=self.dtype, name=f"ups_{i}"
             )(y)
-            xs = None
-            for j, rk in enumerate(resblock_kernels):
-                r = AMPBlock(ch, rk, (1, 3, 5), dtype=self.dtype,
-                             name=f"resblocks_{i * 3 + j}")(y)
-                xs = r if xs is None else xs + r
-            y = xs / 3.0
+            blocks = [
+                AMPBlock(ch, rk, (1, 3, 5), dtype=self.dtype,
+                         name=f"resblocks_{i * 3 + j}")
+                for j, rk in enumerate(resblock_kernels)
+            ]
+            if fused_triple_enabled(ch):
+                from megatts2_hierspeechpp_tpu.ops.pallas_amp_triple import (
+                    fused_amp_triple,
+                )
+
+                bws = [blk(y, return_weights=True) for blk in blocks]
+                y = fused_amp_triple(
+                    y, bws, tuple(resblock_kernels), ((1, 3, 5),) * 3)
+            else:
+                xs = None
+                for blk in blocks:
+                    r = blk(y)
+                    xs = r if xs is None else xs + r
+                y = xs / 3.0
         y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
         e_ = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
         return y, e_
@@ -264,6 +279,11 @@ class Generator(nn.Module):
         if g is not None:
             y = y + Dense(uic, dtype=self.dtype, name="cond")(g)[:, None, :]
 
+        from megatts2_hierspeechpp_tpu.nn.resblocks import fused_triple_enabled
+
+        ks = tuple(self.resblock_kernel_sizes)
+        dils = tuple(tuple(rd) for rd in self.resblock_dilation_sizes)
+        n_stages = len(self.upsample_rates)
         ch = uic
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = uic // (2 ** (i + 1))
@@ -273,17 +293,41 @@ class Generator(nn.Module):
             if i == 0:
                 p = Conv1d(uic // 2, 7, padding=3, dtype=self.dtype, name="proj")(pitch)
                 y = y + p
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                r = AMPBlock(ch, rk, tuple(rd), dtype=self.dtype,
-                             name=f"resblocks_{i * num_kernels + j}")(y)
-                xs = r if xs is None else xs + r
-            y = xs / num_kernels
+            blocks = [
+                AMPBlock(ch, rk, rd, dtype=self.dtype,
+                         name=f"resblocks_{i * num_kernels + j}")
+                for j, (rk, rd) in enumerate(zip(ks, dils))
+            ]
+            last = i == n_stages - 1
+            if last:
+                act_post = AASnakeBeta(ch, alpha_logscale=True,
+                                       name="activation_post")
+                conv_post = Conv1d(1, 7, padding=3, use_bias=False,
+                                   dtype=self.dtype, name="conv_post")
+            if fused_triple_enabled(ch):
+                # whole stage (3 AMPBlocks + avg [+ tail on the last stage])
+                # as ONE Pallas pass — ops/pallas_amp_triple
+                from megatts2_hierspeechpp_tpu.ops.pallas_amp_triple import (
+                    fused_amp_triple,
+                )
 
-        y = AASnakeBeta(ch, alpha_logscale=True, name="activation_post")(y)
-        y = Conv1d(1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(y)
+                bws = [blk(y, return_weights=True) for blk in blocks]
+                if last:
+                    pa, pb = act_post(y, return_params=True)
+                    pk, _ = conv_post(y, return_kernel=True)
+                    return fused_amp_triple(
+                        y, bws, ks, dils,
+                        post=(pa, 1.0 / (pb + 1e-9), pk[:, :, 0]))
+                y = fused_amp_triple(y, bws, ks, dils)
+            else:
+                xs = None
+                for blk in blocks:
+                    r = blk(y)
+                    xs = r if xs is None else xs + r
+                y = xs / num_kernels
+
+        y = act_post(y)
+        y = conv_post(y)
         return jnp.tanh(y)
 
 

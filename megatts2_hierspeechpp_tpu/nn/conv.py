@@ -122,7 +122,7 @@ class Conv1d(nn.Module):
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_kernel: bool = False):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -134,6 +134,10 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
+        if return_kernel:
+            # raw (K, Cin/groups, Cout) weights for fused kernels
+            # (ops/pallas_amp_triple); x is used only for cin inference
+            return kernel, bias
         return conv1d_op(
             x, kernel, bias, self.stride, self.padding, self.dilation, self.groups,
             compute_dtype=self.dtype,

@@ -82,6 +82,23 @@ class ResBlock2(nn.Module):
         return x
 
 
+def fused_triple_enabled(channels: int) -> bool:
+    """Gate for whole-stage fusion (ops/pallas_amp_triple): TPU only, and
+    only at the narrow stages where all three blocks' weights fit VMEM
+    alongside the activation tiles. Opt out with MEGATTS_FUSED_TRIPLE=0
+    (or MEGATTS_PALLAS=0 for all Pallas kernels)."""
+    import os
+
+    import jax
+
+    return (
+        jax.default_backend() == "tpu"
+        and channels <= 64
+        and os.environ.get("MEGATTS_PALLAS", "1") != "0"
+        and os.environ.get("MEGATTS_FUSED_TRIPLE", "1") == "1"
+    )
+
+
 class AMPBlock(nn.Module):
     """Anti-aliased Multi-Periodicity block (BigVGAN AMPBlock1 topology)."""
 
@@ -91,7 +108,7 @@ class AMPBlock(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
         import os
 
         import jax
@@ -103,7 +120,12 @@ class AMPBlock(nn.Module):
         # (tools/bench_ampblock.py: full vocoder 359.8 vs 287.1 audio-s/s,
         # +25% over snake-only, 2.67x over pure XLA); opt out with
         # MEGATTS_FUSED_AMPBLOCK=0.
-        use_fused = (
+        #
+        # return_weights=True skips the compute and returns the stacked
+        # post-exp/normalized weight tuple (a1, ib1, w1, b1, a2, ib2, w2, b2)
+        # — the ops/pallas_ampblock contract — for whole-stage fusion
+        # (ops/pallas_amp_triple); x is used only for shape inference.
+        use_fused = return_weights or (
             jax.default_backend() == "tpu"
             and x.shape[-1] <= 128
             and os.environ.get("MEGATTS_PALLAS", "1") != "0"
@@ -148,6 +170,12 @@ class AMPBlock(nn.Module):
                 xt = a2(xt)
                 xt = c2(xt)
                 x = xt + x
+        if return_weights:
+            return (
+                jnp.stack(acts1), jnp.stack(ibs1), jnp.stack(ks1),
+                jnp.stack(bs1), jnp.stack(acts2), jnp.stack(ibs2),
+                jnp.stack(ks2), jnp.stack(bs2),
+            )
         if use_fused:
             from megatts2_hierspeechpp_tpu.ops.pallas_ampblock import fused_ampblock
 

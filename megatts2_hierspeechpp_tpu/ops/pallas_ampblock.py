@@ -79,7 +79,16 @@ def _conv_tr(xt, w, b, dilation: int, out_w: int, precision):
     """Valid conv on (Cin, W) -> (Cout, out_w); w: (k, Cout, Cin).
 
     out[t] corresponds to 'same'-conv output at offset +half*d in xt:
-    out[:, t] = sum_j w[j] @ xt[:, t + j*d]."""
+    out[:, t] = sum_j w[j] @ xt[:, t + j*d].
+
+    Negative result (round 4): stacking g = 128//Cin taps along the
+    contraction axis into one (Cout, g*Cin) @ (g*Cin, W) dot — to fill the
+    MXU's 128 contraction rows at the vocoder's C in {16, 32, 64} — does
+    NOT compile: Mosaic's tpu.concatenate requires uniform lane offsets on
+    the non-concat dim ("result/input offset mismatch"), and the g slices
+    sit at g different lane offsets (j*dilation mod 128). Normalizing each
+    slice's offset is exactly the per-tap relayout the single-tap dots
+    already pay, so the stacking would add copies without removing work."""
     k = w.shape[0]
     acc = None
     for j in range(k):

@@ -54,6 +54,10 @@ def main():
     p.add_argument("--b", type=int, default=4)
     p.add_argument("--t", type=int, default=1000)
     p.add_argument("--sr", action="store_true", help="profile SpeechSR too")
+    p.add_argument("--dec-split", action="store_true",
+                   help="also time each Generator transposed-conv upsampler "
+                        "standalone (XLA-only jits) — attributes the dec "
+                        "stage between ups_i and the fused resblock stages")
     args = p.parse_args()
 
     import jax
@@ -133,6 +137,27 @@ def main():
         "dec": (jax.jit(_scalarize(_dec)), (params, zf, e, g)),
         "full": (jax.jit(_scalarize(_full)), (params, mel, w2v, mask, f0)),
     }
+    dec_ups = []
+    if args.dec_split:
+        from megatts2_hierspeechpp_tpu.nn.conv import WNConvTranspose1d
+
+        gp = variables["params"]["dec"]
+        uic, rates, kss = 512, (4, 5, 4, 2, 2), (8, 11, 8, 4, 4)
+        t_i, ch_in = t, uic
+        for i, (u, k) in enumerate(zip(rates, kss)):
+            ch = uic // 2 ** (i + 1)
+            x_i = jnp.asarray(
+                rng.standard_normal((b, t_i, ch_in)) * 0.3, jnp.float32)
+            mod = WNConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                    dtype=dtype)
+            name = f"dec_ups_{i}"
+            fns[name] = (
+                jax.jit(_scalarize(lambda v, x, m=mod: m.apply(v, x))),
+                ({"params": gp[f"ups_{i}"]}, x_i))
+            dec_ups.append(name)
+            t_i *= u
+            ch_in = ch
+
     if args.sr:
         from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
 
@@ -157,7 +182,7 @@ def main():
     stage_keys = ["style", "enc_p_l", "flows", "source_net", "dec"]
     total = sum(best[k] for k in stage_keys)
     print(f"\n{'stage':>12s} {'ms':>9s} {'% of sum':>9s} {'audio-s/s':>10s}")
-    for k in stage_keys + (["speechsr_48k"] if args.sr else []):
+    for k in stage_keys + dec_ups + (["speechsr_48k"] if args.sr else []):
         pct = 100 * best[k] / total if k in stage_keys else float("nan")
         print(f"{k:>12s} {best[k]*1e3:9.2f} {pct:9.1f} "
               f"{audio_s/best[k]:10.1f}", flush=True)
