@@ -67,6 +67,11 @@ def main():
     import jax.numpy as jnp
 
     from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    # ~12 executables, several containing multi-minute Mosaic kernel
+    # compiles — persist them so reruns (and partial timeouts) are cheap
+    enable_compile_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else None
