@@ -95,6 +95,9 @@ def main():
     p.add_argument("--lr_decay", type=float, default=0.99)
     p.add_argument("--dense_channel", type=int, default=64,
                    help="MP-SENet width (ref: 64)")
+    p.add_argument("--attn_chunk", type=int, default=64,
+                   help="q-chunk size for the exact chunked attention "
+                        "(training memory; 0 = dense)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--eval_interval", type=int, default=50)
     args = p.parse_args()
@@ -117,9 +120,12 @@ def main():
                  len(ev_wavs))
 
     n_fft, hop, win = 400, 100, 400
-    # remat the conformer stack: trades ~2x attention recompute for the
-    # activation memory that OOM'd B=8 x 2 s on one chip (BASELINE.md r3)
-    model = MPNet(dense_channel=args.dense_channel, remat=True)
+    # Training-memory path: remat each TS block AND q-chunk the attention
+    # (exact — full key axis per chunk). Dense attention backward of ONE
+    # block at B=8 x 2 s wants ~33 GB on a 16 GB chip (BASELINE.md r4), so
+    # both knobs are needed to train the reference's segment recipe.
+    model = MPNet(dense_channel=args.dense_channel, remat=True,
+                  attn_chunk=args.attn_chunk or None)
     tx = adamw(args.lr, lr_decay=args.lr_decay,
                steps_per_epoch=args.steps_per_epoch, max_grad_norm=5.0)
 

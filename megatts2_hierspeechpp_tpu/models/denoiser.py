@@ -90,13 +90,52 @@ class DenseEncoder(nn.Module):
         return y
 
 
+def _attn_dense(q, k, v):
+    """q pre-scaled; q/k/v: (L, N, H, Hd) -> (L, N, H, Hd)."""
+    scores = jnp.einsum(
+        "qnhd,knhd->nhqk", q, k, precision=jax.lax.Precision.HIGHEST
+    )
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "nhqk,knhd->qnhd", p, v, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _attn_q_chunked(q, k, v, chunk: int):
+    """Query-chunked attention, checkpointed per chunk.
+
+    Each chunk sees the FULL key axis, so every softmax row is complete and
+    the result equals `_attn_dense` exactly (same einsums, same reductions) —
+    no online-softmax bookkeeping needed. What changes is memory: the
+    (N, H, L, L) score/probability tensors never materialize, and
+    jax.checkpoint makes the backward recompute them one (N, H, chunk, L)
+    slab at a time. This is what lets the denoiser train at the reference's
+    B=8 x 2 s segments on one 16 GB chip: the dense attention backward of a
+    SINGLE TSConformerBlock at (L=321, N=1608) wants ~33 GB (measured via
+    AOT compile, BASELINE.md r4) — block-level remat cannot help because one
+    block already exceeds HBM."""
+    import functools
+
+    l = q.shape[0]
+    pad = (-l) % chunk
+    qp = jnp.pad(q, ((0, pad),) + ((0, 0),) * (q.ndim - 1))
+    qc = qp.reshape(-1, chunk, *q.shape[1:])
+    body = functools.partial(jax.checkpoint, prevent_cse=False)(_attn_dense)
+    out = jax.lax.map(lambda qq: body(qq, k, v), qc)
+    return out.reshape(-1, *q.shape[1:])[:l]
+
+
 class TorchMHA(nn.Module):
     """torch nn.MultiheadAttention with packed in_proj; applied with
-    batch_first=False semantics on (L, N, E) inputs."""
+    batch_first=False semantics on (L, N, E) inputs.
+
+    attn_chunk: if set, use the q-chunked (exact) attention — the training
+    memory path; None keeps the single-einsum dense form (inference)."""
 
     dim: int
     n_heads: int
     dtype: Dtype | None = None
+    attn_chunk: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,16 +147,14 @@ class TorchMHA(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = hd**-0.5
         # heads over E; batch axis is N; sequence axis is L
-        q = q.reshape(l, n, h, hd)
+        q = q.reshape(l, n, h, hd) * scale
         k = k.reshape(l, n, h, hd)
         v = v.reshape(l, n, h, hd)
-        scores = jnp.einsum(
-            "qnhd,knhd->nhqk", q * scale, k, precision=jax.lax.Precision.HIGHEST
-        )
-        p = jax.nn.softmax(scores, axis=-1)
-        att = jnp.einsum(
-            "nhqk,knhd->qnhd", p, v, precision=jax.lax.Precision.HIGHEST
-        ).reshape(l, n, e)
+        if self.attn_chunk is not None and l > self.attn_chunk:
+            att = _attn_q_chunked(q, k, v, self.attn_chunk)
+        else:
+            att = _attn_dense(q, k, v)
+        att = att.reshape(l, n, e)
         return Dense(self.dim, dtype=self.dtype, name="out_proj")(att)
 
 
@@ -191,12 +228,14 @@ class ConformerBlock(nn.Module):
     dim: int
     n_heads: int = 4
     dtype: Dtype | None = None
+    attn_chunk: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + 0.5 * FeedForwardModule(self.dim, dtype=self.dtype, name="ffm1")(x)
         y = LayerNorm(name="attn_norm")(x)
-        x = x + TorchMHA(self.dim, self.n_heads, dtype=self.dtype, name="attn")(y)
+        x = x + TorchMHA(self.dim, self.n_heads, dtype=self.dtype,
+                         attn_chunk=self.attn_chunk, name="attn")(y)
         x = x + ConformerConvModule(self.dim, dtype=self.dtype, name="ccm")(x, train)
         x = x + 0.5 * FeedForwardModule(self.dim, dtype=self.dtype, name="ffm2")(x)
         return LayerNorm(name="post_norm")(x)
@@ -207,16 +246,19 @@ class TSConformerBlock(nn.Module):
 
     dim: int
     dtype: Dtype | None = None
+    attn_chunk: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t, f, c = x.shape
         # time: reference view (b*f, t, c)
         y = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
-        y = ConformerBlock(self.dim, dtype=self.dtype, name="time")(y, train) + y
+        y = ConformerBlock(self.dim, dtype=self.dtype,
+                           attn_chunk=self.attn_chunk, name="time")(y, train) + y
         # freq: (b*t, f, c)
         y = y.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
-        y = ConformerBlock(self.dim, dtype=self.dtype, name="freq")(y, train) + y
+        y = ConformerBlock(self.dim, dtype=self.dtype,
+                           attn_chunk=self.attn_chunk, name="freq")(y, train) + y
         return y.reshape(b, t, f, c)
 
 
@@ -289,11 +331,15 @@ class MPNet(nn.Module):
     n_freqs: int = 201
     beta: float = 2.0
     dtype: Dtype | None = None
-    # rematerialize each TSConformerBlock in the backward pass: the T*F
-    # attention probability tensors of 8 conformers otherwise dominate
-    # training memory (B=8 x 2 s OOM'd one 34 GB chip — BASELINE.md r3);
-    # param tree is unchanged, so checkpoints port either way
+    # Training-memory knobs (param tree unchanged either way, so checkpoints
+    # port): `remat` rematerializes each TSConformerBlock in the backward;
+    # `attn_chunk` switches TorchMHA to the exact q-chunked attention. BOTH
+    # are needed for the reference's B=8 x 2 s segments on one 16 GB chip:
+    # a SINGLE block's dense attention backward wants ~33 GB (measured via
+    # AOT compile — the (N, H, L, L) probs and their gradients), so remat
+    # alone cannot fit it.
     remat: bool = False
+    attn_chunk: int | None = None
 
     @nn.compact
     def __call__(self, noisy_mag, noisy_pha, train: bool = False):
@@ -304,7 +350,7 @@ class MPNet(nn.Module):
         x = DenseEncoder(self.dense_channel, dtype=self.dtype, name="dense_encoder")(x)
         for i in range(self.num_tsblocks):
             x = block_cls(self.dense_channel, dtype=self.dtype,
-                          name=f"ts_{i}")(x, train)
+                          attn_chunk=self.attn_chunk, name=f"ts_{i}")(x, train)
         mask = MaskDecoder(self.dense_channel, self.n_freqs, self.beta,
                            dtype=self.dtype, name="mask_decoder")(x)
         mag = noisy_mag * mask

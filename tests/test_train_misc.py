@@ -76,6 +76,7 @@ def test_denoiser_remat_matches():
         step = jax.jit(dt.make_train_step(model, tx))
         state, metrics = step(state, batch, jax.random.PRNGKey(2))
         outs[remat] = (state, metrics)
+    # remat recomputes the SAME ops -> bitwise-identical loss and params
     assert jax.tree.structure(outs[False][0].params) == jax.tree.structure(
         outs[True][0].params)
     np.testing.assert_allclose(float(outs[False][1]["loss/total"]),
@@ -85,6 +86,51 @@ def test_denoiser_remat_matches():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         outs[False][0].params, outs[True][0].params)
+
+
+@pytest.mark.slow
+def test_denoiser_attn_chunked_matches():
+    """The exact q-chunked attention (the B=8 x 2 s training-memory path)
+    agrees with the dense form at loss AND gradient level. Post-optimizer
+    params are NOT compared: the chunked form reassociates reductions
+    (~1e-7 output diff), and Adam's ~sign(grad) first step amplifies
+    sub-ulp gradient differences on near-zero entries to O(lr)."""
+    from megatts2_hierspeechpp_tpu.models.denoiser import MPNet
+    from megatts2_hierspeechpp_tpu.train import denoiser as dt
+
+    rng = np.random.default_rng(3)
+    clean = rng.uniform(-0.5, 0.5, (2, 2000)).astype(np.float32)
+    noisy = clean + 0.1 * rng.standard_normal((2, 2000)).astype(np.float32)
+    batch = {"noisy": jnp.asarray(noisy), "clean": jnp.asarray(clean)}
+
+    grads, losses = {}, {}
+    for chunk in (None, 16):
+        model = MPNet(dense_channel=8, num_tsblocks=1, n_freqs=201,
+                      remat=True, attn_chunk=chunk)
+        tx = adamw(1e-3)
+        state = dt.create_state(model, tx, jax.random.PRNGKey(0))
+        step = dt.make_train_step(model, tx)
+
+        # re-derive the loss the step optimizes, for clean grad access
+        from megatts2_hierspeechpp_tpu.ops.stft import mag_pha_stft
+
+        def loss_fn(params, model=model, state=state):
+            mag_n, pha_n = mag_pha_stft(batch["noisy"], 400, 100, 400, 0.3)
+            mag_c, pha_c = mag_pha_stft(batch["clean"], 400, 100, 400, 0.3)
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                mag_n, pha_n, True, mutable=["batch_stats"])
+            (mag_h, pha_h), _ = out
+            return jnp.mean(jnp.square(mag_h - mag_c)) + jnp.mean(
+                jnp.square(jnp.cos(pha_h) - jnp.cos(pha_c)))
+
+        losses[chunk] = float(loss_fn(state.params))
+        grads[chunk] = jax.grad(loss_fn)(state.params)
+    np.testing.assert_allclose(losses[None], losses[16], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-6),
+        grads[None], grads[16])
 
 
 @pytest.mark.slow
