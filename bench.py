@@ -84,6 +84,11 @@ def main():
     import jax.numpy as jnp
 
     from megatts2_hierspeechpp_tpu.models.vocoder import HierVocoder
+    from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
+
+    # fused-kernel Mosaic compiles run minutes each over the tunnel;
+    # persist them so driver/bench reruns start warm
+    enable_compile_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else None
@@ -158,6 +163,22 @@ def main():
         if peak:
             out["peak_tflops"] = peak
             out["mfu_pct"] = round(100.0 * achieved_tflops / peak, 2)
+
+    # ---- SpeechSR-48k throughput (the 48 kHz serving tail) ----
+    try:
+        from megatts2_hierspeechpp_tpu.models.speechsr import SpeechSR
+
+        srm = SpeechSR(rate_num=3, rate_den=1, dtype=dtype)
+        wav16 = jnp.asarray(
+            rng.standard_normal((b, t * 320, 1)) * 0.1, jnp.float32)
+        sr_params = jax.jit(srm.init)(jax.random.PRNGKey(2), wav16)
+        sr_fn = jax.jit(lambda p, w: srm.apply(p, w))
+        np.asarray(sr_fn(sr_params, wav16))
+        dt_sr = _best_of(lambda: sr_fn(sr_params, wav16), n_iter=n_iter)
+        out["speechsr48_audio_s_per_s"] = round(
+            b * t / 50.0 * n_iter / dt_sr, 1)
+    except Exception:
+        pass
 
     # ---- KV-cached PLM decode rate (tokens/s) ----
     try:
