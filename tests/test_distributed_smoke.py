@@ -27,3 +27,21 @@ def test_two_process_psum():
     assert out.returncode == 0, out.stdout + out.stderr
     assert "SMOKE_DISTRIBUTED PASS" in out.stdout
     assert out.stdout.count("psum ok (24.0)") == 2
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step():
+    """One s2 GAN train step sharded across two OS processes (4 virtual
+    devices each): the parent asserts both processes report identical losses
+    and post-update parameter checksums — i.e. the cross-process gradient
+    all-reduce actually synchronized training."""
+    env = dict(os.environ)
+    env["SMOKE_DIST_PORT"] = "56429"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "smoke_distributed.py"),
+         "--train"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "SMOKE_DISTRIBUTED PASS" in out.stdout
+    assert out.stdout.count("train ok") == 2
