@@ -89,7 +89,14 @@ def _conv_tr(xt, w, b, dilation: int, out_w: int, precision):
     sit at g different lane offsets (j*dilation mod 128). Normalizing each
     slice's offset is exactly the per-tap relayout the single-tap dots
     already pay, so the stacking would add copies without removing work."""
+    import os
+
     k = w.shape[0]
+    c_in = xt.shape[0]
+    g = max(1, 128 // c_in)
+    if (g > 1 and k > 1 and precision != jax.lax.Precision.HIGHEST
+            and os.environ.get("MEGATTS_PACKED_CONV", "0") == "1"):
+        return _conv_tr_packed(xt, w, b, dilation, out_w, g)
     acc = None
     for j in range(k):
         term = jax.lax.dot(
@@ -97,6 +104,44 @@ def _conv_tr(xt, w, b, dilation: int, out_w: int, precision):
             precision=precision,
             preferred_element_type=jnp.float32,
         )
+        acc = term if acc is None else acc + term
+    return acc + b[:, None]
+
+
+def _conv_tr_packed(xt, w, b, dilation: int, out_w: int, g: int):
+    """Tap-packed variant of _conv_tr (opt-in: MEGATTS_PACKED_CONV=1).
+
+    Packs g = 128 // Cin taps along the MXU contraction axis — a
+    (Cout, g*Cin) @ (g*Cin, out_w) dot instead of g (Cout, Cin) dots — so the
+    systolic array's 128 contraction rows fill at the vocoder's C in
+    {16, 32, 64} (1/8 .. 1/2 occupied per tap otherwise). The round-4
+    negative result (this file's _conv_tr docstring) was hit on
+    tpu.concatenate of in-place slices at differing lane offsets; here each
+    shifted slice is first materialized at canonical layout via pltpu.roll,
+    which makes the sublane concat legal. Costs g lane-rotates per group —
+    the same relayout the per-tap dots pay implicitly — in exchange for
+    ~g-fold fewer MXU passes. Exactness: identical FLOPs, f32 accumulation,
+    reassociated only across the g in-group taps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = w.shape[0]
+    w_in = xt.shape[1]
+    acc = None
+    for j0 in range(0, k, g):
+        js = list(range(j0, min(j0 + g, k)))
+        if len(js) == 1:
+            term = jax.lax.dot(
+                w[js[0]], xt[:, js[0] * dilation: js[0] * dilation + out_w],
+                preferred_element_type=jnp.float32)
+        else:
+            parts = [
+                pltpu.roll(xt, (w_in - j * dilation) % w_in, axis=1)[:, :out_w]
+                for j in js
+            ]
+            xcat = jnp.concatenate(parts, axis=0)
+            wcat = jnp.concatenate([w[j] for j in js], axis=1)
+            term = jax.lax.dot(wcat, xcat,
+                               preferred_element_type=jnp.float32)
         acc = term if acc is None else acc + term
     return acc + b[:, None]
 
