@@ -96,7 +96,7 @@ def _conv_tr(xt, w, b, dilation: int, out_w: int, precision):
     g = max(1, 128 // c_in)
     if (g > 1 and k > 1 and precision != jax.lax.Precision.HIGHEST
             and os.environ.get("MEGATTS_PACKED_CONV", "0") == "1"):
-        return _conv_tr_packed(xt, w, b, dilation, out_w, g)
+        return _conv_tr_packed(xt, w, b, dilation, out_w, g, precision)
     acc = None
     for j in range(k):
         term = jax.lax.dot(
@@ -108,41 +108,43 @@ def _conv_tr(xt, w, b, dilation: int, out_w: int, precision):
     return acc + b[:, None]
 
 
-def _conv_tr_packed(xt, w, b, dilation: int, out_w: int, g: int):
-    """Tap-packed variant of _conv_tr (opt-in: MEGATTS_PACKED_CONV=1).
+def _conv_tr_packed(xt, w, b, dilation: int, out_w: int, g: int, precision):
+    """Output-packed taps (opt-in: MEGATTS_PACKED_CONV=1).
 
-    Packs g = 128 // Cin taps along the MXU contraction axis — a
-    (Cout, g*Cin) @ (g*Cin, out_w) dot instead of g (Cout, Cin) dots — so the
-    systolic array's 128 contraction rows fill at the vocoder's C in
-    {16, 32, 64} (1/8 .. 1/2 occupied per tap otherwise). The round-4
-    negative result (this file's _conv_tr docstring) was hit on
-    tpu.concatenate of in-place slices at differing lane offsets; here each
-    shifted slice is first materialized at canonical layout via pltpu.roll,
-    which makes the sublane concat legal. Costs g lane-rotates per group —
-    the same relayout the per-tap dots pay implicitly — in exchange for
-    ~g-fold fewer MXU passes. Exactness: identical FLOPs, f32 accumulation,
-    reassociated only across the g in-group taps."""
-    from jax.experimental.pallas import tpu as pltpu
+    One (g*Cout, Cin) @ (Cin, W_ext) dot per group of g = 128 // C taps,
+    instead of g separate (Cout, Cin) dots — fills the MXU's OUTPUT rows
+    g-fold at the vocoder's C in {16, 32, 64}. Two earlier *contraction*-
+    packed designs do NOT compile (Mosaic `tpu.concatenate` requires uniform
+    lane offsets, and the activation slices sit at g different offsets;
+    pltpu.roll does not canonicalize them either — re-verified on hardware
+    round 5, offsets {0,112} vs {0,1}). This variant sidesteps the problem:
+    the concat is over WEIGHT slices w[j] (leading-dim indexing, canonical
+    layout, legal), the activations are one contiguous slice widened by
+    (g-1)*dilation columns, and each tap's block of the result is added at
+    its lane shift — the same shifted-slice adds the per-tap path performs.
+    Exactness: bit-identical to the per-tap path (same add order).
 
+    Measured (round 5, v5e): compiles and matches exactly, +4-5% on a
+    STANDALONE fused block at C in {16, 64} — but -9 to -11% at MODEL level
+    (vocoder 367.4 -> 325.0, SpeechSR-48k 261.2 -> 239.0 audio-s/s) inside
+    the triple kernels, where the widened (g*Cout, W_ext) intermediates
+    raise VMEM pressure and break Mosaic's pipelining of the surrounding
+    snake stages. Default stays OFF; kept as a documented experiment."""
     k = w.shape[0]
-    w_in = xt.shape[1]
+    c_out = w.shape[1]
     acc = None
     for j0 in range(0, k, g):
         js = list(range(j0, min(j0 + g, k)))
-        if len(js) == 1:
-            term = jax.lax.dot(
-                w[js[0]], xt[:, js[0] * dilation: js[0] * dilation + out_w],
-                preferred_element_type=jnp.float32)
-        else:
-            parts = [
-                pltpu.roll(xt, (w_in - j * dilation) % w_in, axis=1)[:, :out_w]
-                for j in js
-            ]
-            xcat = jnp.concatenate(parts, axis=0)
-            wcat = jnp.concatenate([w[j] for j in js], axis=1)
-            term = jax.lax.dot(wcat, xcat,
-                               preferred_element_type=jnp.float32)
-        acc = term if acc is None else acc + term
+        w_ext = out_w + (len(js) - 1) * dilation
+        wcat = jnp.concatenate([w[j] for j in js], axis=0)  # (g*Cout, Cin)
+        res = jax.lax.dot(
+            wcat, xt[:, j0 * dilation: j0 * dilation + w_ext],
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        for i, j in enumerate(js):
+            off = (j - j0) * dilation
+            term = res[i * c_out:(i + 1) * c_out, off: off + out_w]
+            acc = term if acc is None else acc + term
     return acc + b[:, None]
 
 

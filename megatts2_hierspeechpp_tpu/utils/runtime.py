@@ -9,10 +9,12 @@ def enable_compile_cache(path: str | None = None) -> None:
     skips the multi-minute recompile of the train step)."""
     import jax
 
+    # default to the repo-local cache (it outlives containers that reset
+    # $HOME; bench/CLI runs then share warm Mosaic entries across sessions)
+    repo_cache = os.path.join(os.path.dirname(__file__), "..", "..",
+                              ".jax_cache")
     cache_dir = path or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "megatts2_jax"),
-    )
+        "JAX_COMPILATION_CACHE_DIR", os.path.abspath(repo_cache))
     try:
         jax.config.update("jax_enable_compilation_cache", True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

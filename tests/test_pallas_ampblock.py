@@ -80,6 +80,42 @@ def test_ampblock_module_fused_path_matches(interpret_pallas, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,k", [
+    ((1, 512, 16), 11),   # g=8: taps pack as 8+3
+    ((1, 512, 32), 7),    # g=4: 4+3
+    ((1, 512, 64), 3),    # g=2: 2+1
+])
+def test_packed_conv_matches_per_tap(shape, k, interpret_pallas, monkeypatch):
+    """MEGATTS_PACKED_CONV=1 (tap-packed MXU dots via pltpu.roll) equals the
+    per-tap path bit-for-bit modulo in-group f32 reassociation (ADVICE r4).
+
+    The packed gate requires non-HIGHEST precision, which the kernel derives
+    from a bf16 output dtype — so both arms run in bf16 here."""
+    b, t, c = shape
+    dil = (1, 3, 5)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.bfloat16)
+    ws = [jnp.asarray(w) for w in _weights(rng, len(dil), k, c)]
+
+    monkeypatch.setenv("MEGATTS_PACKED_CONV", "0")
+    per_tap = np.asarray(
+        pab.fused_ampblock(x, *ws, kernel_size=k, dilations=dil),
+        np.float32)
+    monkeypatch.setenv("MEGATTS_PACKED_CONV", "1")
+    packed = np.asarray(
+        pab.fused_ampblock(x, *ws, kernel_size=k, dilations=dil),
+        np.float32)
+    d = np.abs(packed - per_tap)
+    rel = d.max() / np.abs(per_tap).max()
+    assert rel < 2e-2, (d.max(), rel)  # bf16 output quantum + reassociation
+
+    # and both agree with the composed math at bf16 tolerance
+    ref = np.asarray(pab.composed_ampblock(
+        x.astype(jnp.float32), *ws, k, dil))
+    rel_ref = np.abs(packed - ref).max() / np.abs(ref).max()
+    assert rel_ref < 5e-2, rel_ref
+
+
 def test_fused_ampblock_gradients_match(interpret_pallas):
     b, t, c, k, dil = 1, 512, 16, 11, (1, 3, 5)
     rng = np.random.default_rng(1)

@@ -6,7 +6,8 @@ work (3 AMPBlocks + avg [+ tail]). This tool times EACH stage's resblock
 computation standalone at the exact shapes the B=4 x 20 s headline bench
 uses, alongside an analytic roofline per stage:
 
-  - conv GFLOPs (the 18 dilated/pointwise convs: 2 * 252 * C^2 * T)
+  - conv GFLOPs (the 18 dilated convs: 3 blocks x 3 dilations x 2 convs,
+    total taps 6*(3+7+11)=126 -> 2 * 126 * C^2 * B * T)
   - the MXU *shape-imposed* ceiling: a (C, C) @ (C, W) tap-dot fills the
     128x128 systolic array at (C/128)^2 -> ideal conv ms at that ceiling
   - VPU snake op volume (19 anti-aliased snakes/stage: ~24 polyphase MACs
@@ -150,8 +151,9 @@ def main():
 
         # analytic roofline pieces
         n_elem = b * t_i * ch
-        # 18 convs/stage: 3 blocks x 3 dil x 2 convs, k taps each
-        conv_flops = 2 * sum(12 * k for k in KS) * ch * ch * b * t_i
+        # 18 convs/stage: per block(k) 3 dil x 2 convs x k taps = 6k,
+        # summed over blocks -> 6*(3+7+11) = 126 taps total
+        conv_flops = 2 * sum(6 * k for k in KS) * ch * ch * b * t_i
         util = min(ch / 128.0, 1.0) ** 2
         ideal_conv_ms = conv_flops / (MXU_PEAK_TFLOPS * 1e12 * util) * 1e3
         n_snakes = 18 + (1 if last else 0)
