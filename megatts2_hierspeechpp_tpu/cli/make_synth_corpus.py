@@ -128,6 +128,10 @@ def main():
     p.add_argument("--out_dir", required=True)
     p.add_argument("--n", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--holdout", type=int, default=0,
+                   help="keep the LAST K utterances out of trans.txt as a "
+                        "held-out eval split (trans_eval.txt + eval_list.txt;"
+                        " config gains data.validation_files)")
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -165,9 +169,19 @@ def main():
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{args.n}")
 
+    k = max(0, min(args.holdout, len(rows) - 1))
+    train_rows, eval_rows = (rows[:-k], rows[-k:]) if k else (rows, [])
     trans = os.path.join(args.out_dir, "trans.txt")
     with open(trans, "w", encoding="utf-8") as f:
-        f.write("\n".join(rows) + "\n")
+        f.write("\n".join(train_rows) + "\n")
+    eval_list = None
+    if eval_rows:
+        trans_eval = os.path.join(args.out_dir, "trans_eval.txt")
+        with open(trans_eval, "w", encoding="utf-8") as f:
+            f.write("\n".join(eval_rows) + "\n")
+        eval_list = os.path.join(args.out_dir, "eval_list.txt")
+        with open(eval_list, "w") as f:
+            f.write(trans_eval + "\n")
     # AR-stack sidecars (2-name2text.txt / 6-name2semantic.tsv): 25 Hz
     # semantic ids as a learnable function of phone identity (stable per-phone
     # base id + within-phone position), ~ceil(dur/4) tokens per phone so the
@@ -191,6 +205,12 @@ def main():
             fs.write(f"{name}\t{' '.join(map(str, sem))}\n")
     with open(os.path.join(args.out_dir, "train_list.txt"), "w") as f:
         f.write(trans + "\n")
+    data_cfg = {"training_files": os.path.join(args.out_dir, "train_list.txt"),
+                "sampling_rate": 16000, "filter_length": 1280,
+                "hop_length": 320, "win_length": 1280,
+                "n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000}
+    if eval_list:
+        data_cfg["validation_files"] = eval_list
     with open(os.path.join(args.out_dir, "config.json"), "w") as f:
         json.dump({
             "train": {"log_interval": 10, "eval_interval": 100,
@@ -198,14 +218,14 @@ def main():
                       "learning_rate": 1e-4, "betas": [0.8, 0.99],
                       "eps": 1e-9, "batch_size": 8, "lr_decay": 0.95,
                       "segment_size": 163840, "c_mel": 1.0, "c_commit": 100},
-            "data": {"training_files":
-                     os.path.join(args.out_dir, "train_list.txt"),
-                     "sampling_rate": 16000, "filter_length": 1280,
-                     "hop_length": 320, "win_length": 1280,
-                     "n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000},
-            "model": {"inter_channels": 256, "hidden_channels": 256,
-                      "filter_channels": 1024,
-                      # vocoder-trainer keys (configs/hierspeechpp.json)
+            "data": data_cfg,
+            # The model section is consumed ONLY by cli/train_vocoder.py
+            # (train_s2/train_s1 construct reference-default models), so it
+            # carries the VOCODER's widths (configs/hierspeechpp.json) —
+            # round-2's 256/256/1024 here were the TTV widths and silently
+            # trained a non-reference-shaped vocoder.
+            "model": {"inter_channels": 192, "hidden_channels": 192,
+                      "filter_channels": 768,
                       "spec_channels": 641,
                       "upsample_rates": [4, 5, 4, 2, 2],
                       "upsample_initial_channel": 512,

@@ -64,3 +64,20 @@ def restore(base: str, example_state: Any, step: Optional[int] = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(lambda x: x, example_state)
     return ckptr.restore(os.path.abspath(_ckpt_dir(base, step)), target)
+
+
+def restore_raw(base: str, step: Optional[int] = None) -> Any:
+    """Restore the latest (or given-step) checkpoint WITHOUT an example tree.
+
+    Returns the raw saved pytree as nested dicts of numpy arrays — enough to
+    pull `params_g` / `params_plm` / `vq` out of a finished training run for
+    serving (infer/from_training.py) without rebuilding optimizer state.
+    Returns None if no checkpoint exists.
+    """
+    import orbax.checkpoint as ocp
+
+    step = step if step is not None else latest_step(base)
+    if step is None or not os.path.isdir(_ckpt_dir(base, step)):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(_ckpt_dir(base, step)))

@@ -93,9 +93,9 @@ def make_vocoder_eval_fn(voc, eval_batch: Dict[str, np.ndarray],
     def _run(params_g):
         wav_hat, e_ = voc.apply(
             {"params": params_g}, batch["mel"], batch["w2v"],
-            batch["mask"], batch["f0"][..., None],
+            batch["mask"], jnp.log1p(batch["f0"][..., None]),
             method=HierVocoder.infer,
-        )
+        )  # log1p: the serving-domain f0 (see train/vocoder.py encode)
         mel_hat = mel_spectrogram_fixed(wav_hat[..., 0].astype(jnp.float32))
         mel_gt = mel_spectrogram_fixed(batch["audio"])
         t = min(mel_hat.shape[1], mel_gt.shape[1], batch["mask"].shape[1])

@@ -80,10 +80,15 @@ def make_train_step(voc: HierVocoder, disc: MultiPeriodDiscriminator, tx_g, tx_d
                     c_mel: float = 45.0, c_kl: float = 1.0, c_f0: float = 1.0,
                     sr: int = 16000, n_fft: int = 1280, n_mels: int = 80):
     def encode(params_g, batch, rngs):
+        # The vocoder consumes f0 in log1p domain: serving passes the TTV's
+        # log(f0+1) pitch straight through (reference inference_vc.py:115
+        # `denorm_f0 = torch.log(f0+1)`, inference_plm.py:169-173), so
+        # training must feed log1p(Hz) too or the posterior/prior encoders
+        # see a ~200x input-scale shift at serve time. Unvoiced stays 0.
         return voc.apply(
             {"params": params_g},
             batch["spec"], batch["audio"][..., None], batch["mel"], batch["w2v"],
-            batch["f0"][..., None], batch["mask"],
+            jnp.log1p(batch["f0"][..., None]), batch["mask"],
             {"z_q": rngs[0], "z_p": rngs[1], "z_l": rngs[2]},
             method=HierVocoder.train_encode,
         )
