@@ -200,9 +200,13 @@ def _fused_fwd(x, ws, ks, dils, tile_t):
 
 def _fused_bwd(ks, dils, tile_t, res, ct):
     x, ws = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda x_, ws_: composed_triple(x_, ws_[0], ks, dils, ws_[1]), x, ws)
-    return vjp(ct)
+    # downstream bf16 compute (e.g. the GAN discriminator) may hand back a
+    # bf16 cotangent while the composed primal is f32 — jax.vjp requires the
+    # exact output JAX type, so match it (first hit: vocoder GAN training
+    # through the fused last stage, round 5)
+    return vjp(ct.astype(out.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

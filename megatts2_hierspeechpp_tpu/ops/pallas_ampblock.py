@@ -271,9 +271,11 @@ def _fused_fwd(x, a1, ib1, w1, b1, a2, ib2, w2, b2, kernel_size, dilations,
 
 def _fused_bwd(kernel_size, dilations, tile_t, res, ct):
     args = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda *a: composed_ampblock(*a, kernel_size, dilations), *args)
-    return vjp(ct)
+    # match the composed primal's JAX type: a bf16 downstream (GAN disc) may
+    # hand back a bf16 cotangent against an f32 primal (pallas_amp_triple)
+    return vjp(ct.astype(out.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

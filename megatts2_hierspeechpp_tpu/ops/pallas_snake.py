@@ -253,8 +253,9 @@ def _fused_bwd(tile_t, res, ct):
     # pallas_call has no autodiff rule; differentiate the composed math at
     # the saved primals instead (trainers hit this: AMPBlock backward)
     x, alpha, beta = res
-    _, vjp = jax.vjp(_composed_math, x, alpha, beta)
-    return vjp(ct)
+    out, vjp = jax.vjp(_composed_math, x, alpha, beta)
+    # match the composed primal's JAX type (see pallas_amp_triple._fused_bwd)
+    return vjp(ct.astype(out.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

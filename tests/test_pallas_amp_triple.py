@@ -117,6 +117,27 @@ def test_triple_gradients_match(interpret_pallas):
         gf, gc)
 
 
+def test_triple_gradient_with_bf16_cotangent(interpret_pallas):
+    """GAN-training shape of the backward: a bf16 discriminator downstream
+    hands a bf16 cotangent to the f32-primal custom_vjp (crashed the round-5
+    vocoder trainer before the astype in _fused_bwd)."""
+    b, t, c = 1, 512, 16
+    rng = np.random.default_rng(4)
+    # bf16 activations + f32 weights = the trainer's mixed setup: the pallas
+    # forward returns bf16 (ct arrives bf16) while the composed replay's
+    # f32 weights promote its primal to f32
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.bfloat16)
+    bws = _stage(rng, c)
+    post = _post(rng, c)
+
+    def loss(x, bws, post):
+        y = pat.fused_amp_triple(x, bws, KS, DILS, post=post)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(x, bws, post)  # must not raise
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
 def test_speechsr_module_fused_path_matches(interpret_pallas, monkeypatch):
     """SpeechSR's whole-stage fused path equals its composed path with the
     SAME flax params (weight extraction + tail fusion integration)."""
