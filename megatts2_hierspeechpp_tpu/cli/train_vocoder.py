@@ -72,6 +72,15 @@ def main():
     from megatts2_hierspeechpp_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
+    # Training default: composed stage math. Embedding the fused stage
+    # kernels in the GAN train graph costs ~45 min of (uncached) remote XLA
+    # compile PER shape bucket on the axon tunnel vs ~6 min composed, for a
+    # training step whose B=8 x 32-frame decode slice sees no fusion win.
+    # The kernels are numerics-equivalent (custom_vjp backward IS the
+    # composed math) so the trained weights serve under the fused kernels
+    # unchanged. Override with MEGATTS_FUSED_TRIPLE=1 / _AMPBLOCK=1.
+    os.environ.setdefault("MEGATTS_FUSED_TRIPLE", "0")
+    os.environ.setdefault("MEGATTS_FUSED_AMPBLOCK", "0")
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-m", "--model", required=True)
