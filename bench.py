@@ -34,12 +34,15 @@ def _peak_for(device) -> float | None:
 
 
 
-def _best_of(fn, rounds=3, n_iter=10):
+def _best_of(fn, rounds=6, n_iter=10):
     """Best total wall-time of n_iter queued calls, ended by a full host
     readback of the last result. Over the axon tunnel block_until_ready can
     return before device compute finishes (measured: 1 ms 'sync' calls vs
     586 ms true per-call time at N>=2 queued) — device->host readback is the
-    only trustworthy completion barrier."""
+    only trustworthy completion barrier. rounds=6 because tunnel latency
+    fluctuates in multi-second epochs (tools/probe_tunnel.py measured
+    60-100 ms round-trips on 2026-08-20 vs the usual ~10 ms): best-of over
+    a ~1 min spread rides out a bad epoch instead of reporting it."""
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -195,8 +198,10 @@ def main():
         # Pallas kernel (default-on), elsewhere the exact f32 scan
         dec = jax.jit(lambda p, a: decode(p, a))
         np.asarray(dec(plm_params, tc))  # compile + warm readback
-        dt = _best_of(lambda: dec(plm_params, tc), rounds=3, n_iter=3)
-        out["plm_decode_tok_s"] = round(t_dec * 3 / dt)
+        # 10 queued calls/round: a 500-token decode is ~20 ms, so per-call
+        # dispatch (0.5-10 ms depending on tunnel health) must be amortized
+        dt = _best_of(lambda: dec(plm_params, tc), n_iter=10)
+        out["plm_decode_tok_s"] = round(t_dec * 10 / dt)
     except Exception:
         pass
 
